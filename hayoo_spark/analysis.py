@@ -1,0 +1,102 @@
+"""Canonical text analysis: extraction + tokenization.
+
+One definition of "a token", shared verbatim by three implementations
+that must agree byte-for-byte (the per-row invariant in BASELINE.json):
+
+- Spark-side JVM expressions (:func:`tokens_col`) — the hot path, pure
+  ``pyspark.sql.functions`` so it stays inside whole-stage codegen;
+- pure-Python (:func:`tokenize_py`) — used by the exact oracle;
+- a DuckDB SQL fragment (:data:`DUCKDB_TOKENS_SQL`) — used by the
+  driver-side correctness oracle.
+
+Semantics follow the reference's default ``\\w``-class word tokenizer +
+boring-word filter (drop tokens of length <= 1):
+hayooIndexer/src/Hayoo/IndexConfig.hs:214-219 (boring words),
+hayooIndexer/src/Hayoo/Hunt/IndexSchema.hs:103-121 (context regexes,
+``\\w*`` class), lowercasing per the no-case default query path
+(hayoo-server/src/Hayoo/App.hs:156-165).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The token character class.  ASCII-word on purpose: identical meaning in
+# Java regex (Spark), RE2 (DuckDB) and Python `re`.
+TOKEN_RE = "[a-z0-9_]+"
+MIN_TOKEN_LEN = 2
+
+_PY_TOKEN_RE = re.compile(TOKEN_RE)
+
+# HTML extraction: the fixture pages wrap text as
+# <html><head><title>T</title></head><body><p>TEXT</p></body></html>.
+# Real-corpus extraction would plug a proper parser into the same pandas
+# UDF seam (see ops/multimodal.py for the stub pattern); the invariant
+# checked is byte-identical `text` per `url` vs this extractor.
+_TAG_RE = re.compile(r"<[^>]*>")
+_BODY_RE = re.compile(r"<body[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Spark Column of tokens (array<string>) for a text column.
+
+    lowercase -> extract TOKEN_RE matches -> drop tokens shorter than
+    MIN_TOKEN_LEN.  Stays JVM-side (regexp_extract_all + filter).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+    return F.filter(toks, lambda t: F.length(t) >= MIN_TOKEN_LEN)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Pure-Python tokenizer — must agree exactly with tokens_col."""
+    return [t for t in _PY_TOKEN_RE.findall(text.lower()) if len(t) >= MIN_TOKEN_LEN]
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized pandas tokenizer (for applyInPandas builders)."""
+    return texts.str.lower().str.findall(_PY_TOKEN_RE).map(
+        lambda ts: [t for t in ts if len(t) >= MIN_TOKEN_LEN]
+    )
+
+
+def duckdb_tokens_sql(table: str, text_col: str = "text", key_col: str = "doc_id") -> str:
+    """DuckDB CTE body producing (key, term) rows identical to tokens_col."""
+    return (
+        f"SELECT {key_col}, t.term FROM {table}, "
+        f"UNNEST(regexp_extract_all(lower({text_col}), '{TOKEN_RE}')) AS t(term) "
+        f"WHERE length(t.term) >= {MIN_TOKEN_LEN}"
+    )
+
+
+def extract_text_py(html: bytes) -> str:
+    """Oracle HTML->text extractor (tag strip + whitespace collapse).
+
+    Main-content rule: take the <body> element (fall back to the whole
+    document), strip tags, collapse whitespace.  Mirrors the reference's
+    plain-text extraction semantics (hayooIndexer/src/Hayoo/
+    Haddock.hs:606-629 via naive analogue newHayooIndexer/src/
+    ParseHoogle.hs:212-223: drop <...> spans).
+    """
+    doc = html.decode("utf-8", errors="replace")
+    m = _BODY_RE.search(doc)
+    txt = _TAG_RE.sub(" ", m.group(1) if m else doc)
+    return " ".join(txt.split())
+
+
+def extract_text_series(htmls: pd.Series) -> pd.Series:
+    """Vectorized extraction for the pandas UDF (no per-row Python loop
+    beyond the regex engine itself; Series.str ops are the input_hint's
+    sanctioned vectorized path)."""
+    s = htmls.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
+    body = s.str.extract(_BODY_RE, expand=False)
+    s = body.where(body.notna(), s)
+    return (
+        s.str.replace(_TAG_RE, " ", regex=True)
+        .str.split()
+        .str.join(" ")
+    )

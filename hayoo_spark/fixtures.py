@@ -1,0 +1,169 @@
+"""Deterministic synthetic `pages` corpus + reference query set.
+
+Implements FIXTURES.md §1-2: a seeded (seed=42) Common-Crawl-shaped table
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+with a Zipfian vocabulary (s≈1.1) so term skew is present from day one,
+plus hand-written edge docs (empty, unicode, stop-only, duplicate-url,
+heavy-hitter) and a ~60-query reference query set covering every operator
+of SURVEY.md §2.5.
+
+Everything is pure pandas/pyarrow — no Spark needed — so the oracle tests
+run without a JVM.  The same parquet is read by the Spark engine.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.1
+
+_SYLLABLES = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+    "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+    "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+    "ra", "re", "ri", "ro", "ru", "sa", "se", "si", "so", "su",
+    "ta", "te", "ti", "to", "tu", "va", "ve", "vi", "vo", "vu",
+]
+
+
+def make_vocab(n: int = VOCAB_SIZE) -> list[str]:
+    """Deterministic vocabulary: word i = syllables of i's base-50 digits.
+
+    Natural shared prefixes make prefix queries meaningful.
+    """
+    vocab = []
+    for i in range(n):
+        word, j = "", i
+        while True:
+            word = _SYLLABLES[j % len(_SYLLABLES)] + word
+            j //= len(_SYLLABLES)
+            if j == 0:
+                break
+        # ensure min length 4 & uniqueness by suffixing rank syllable
+        vocab.append(word + _SYLLABLES[i % len(_SYLLABLES)])
+    return vocab
+
+
+def _zipf_probs(n: int, s: float = ZIPF_S) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    return p / p.sum()
+
+
+def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
+    """Generate the pages table (FIXTURES.md §1), edge docs appended."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array(make_vocab(), dtype=object)
+    probs = _zipf_probs(len(vocab))
+
+    lengths = np.maximum(1, rng.lognormal(mean=4.55, sigma=0.6, size=n_docs).astype(np.int64))
+    total = int(lengths.sum())
+    draws = rng.choice(len(vocab), size=total, p=probs)
+    langs = np.where(rng.rand(n_docs) < 0.95, "en", "de")
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    span = dt.timedelta(days=365)
+
+    rows = []
+    pos = 0
+    for i in range(n_docs):
+        words = vocab[draws[pos : pos + lengths[i]]]
+        pos += lengths[i]
+        text = " ".join(words)
+        rows.append(_row(f"https://example{i % 7}.org/p/{i:08d}",
+                         t0 + span * (i / max(1, n_docs)), text, langs[i]))
+
+    # --- edge docs at fixed urls (FIXTURES.md §1) ---
+    t_edge = t0 + dt.timedelta(days=364)
+    top = vocab[0]
+    rows.append(_row("https://edge.org/empty", t_edge, "", "en"))
+    rows.append(_row("https://edge.org/single", t_edge, "solitaryword", "en"))
+    rows.append(_row("https://edge.org/unicode", t_edge, "café naïve 中文 tokens here", "en"))
+    rows.append(_row("https://edge.org/stoponly", t_edge, "a b c d e 1 2 3", "en"))
+    # duplicate-url row: first wins (newHayooIndexer/src/MainHoogle.hs:124-133)
+    rows.append(_row("https://example0.org/p/00000000", t_edge, "duplicate shadow content", "de"))
+    # heavy hitter: top Zipf term repeated 10k times (skew/salting path)
+    rows.append(_row("https://edge.org/heavy", t_edge, " ".join([top] * 10_000), "en"))
+
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    return df
+
+
+def _row(url: str, ts: dt.datetime, text: str, lang: str):
+    title = " ".join(text.split()[:3])
+    html = f"<html><head><title>{title}</title></head><body><p>{text}</p></body></html>"
+    return (url, ts.replace(tzinfo=None), html.encode("utf-8"), text, lang)
+
+
+def write_pages(path: str, n_docs: int = 1000, seed: int = SEED) -> str:
+    """Write pages parquet to `path` (a directory); returns the file path."""
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, "pages.parquet")
+    make_pages(n_docs, seed).to_parquet(out, index=False)
+    return out
+
+
+def make_queries(n_docs: int = 1000) -> list[dict]:
+    """The reference query set (FIXTURES.md §2): ~60 queries, every
+    operator of SURVEY.md §2.5 covered.  Terms chosen by Zipf rank so
+    head/mid/tail selectivities are all exercised."""
+    vocab = make_vocab()
+    head = vocab[:8]
+    mid = vocab[100:108]
+    tail = vocab[4000:4008]
+    qs: list[dict] = []
+    qid = 0
+
+    def add(query: str, kind: str, k: int = 20, page: int = 0):
+        nonlocal qid
+        qs.append({"query_id": qid, "query": query, "kind": kind, "k": k, "page": page})
+        qid += 1
+
+    for t in head[:6] + mid[:6] + tail[:6]:
+        add(t, "term")
+    add(vocab[0], "term")  # the salted heavy hitter
+    add("zzznosuchterm", "term")  # zero hits
+
+    for a, b in zip(head, mid):
+        add(f"{a} AND {b}", "and")
+    for a, b, c in zip(head[:4], mid[:4], tail[:4]):
+        add(f"{a} AND {b} AND {c}", "and")
+    for a, b in zip(head[:5], tail[:5]):
+        add(f"{a} OR {b}", "or")
+    add(f"{mid[0]} OR {mid[1]} OR {mid[2]}", "or")
+    for a, b in zip(head[:5], mid[:5]):
+        add(f"{a} AND NOT {b}", "andnot")
+
+    for p in [vocab[0][:3], vocab[0][:4], "zzz", vocab[100][:5]]:
+        add(f"{p}*", "prefix")
+
+    # phrases: actual bigrams are data-dependent; use head-term pairs
+    add(f'"{head[0]} {head[1]}"', "phrase")
+    add(f'"{head[1]} {head[0]}"', "phrase")
+    add(f'"{mid[0]} {mid[1]}"', "phrase")
+    add(f'"{head[0]} {head[0]}"', "phrase")
+
+    add(f"lang:en AND {head[2]}", "field")
+    add(f"lang:de AND {head[2]}", "field")
+    add(f"lang:de AND {mid[3]}", "field")
+
+    add(f"warc_ts:[2024-01-01 TO 2024-03-01] AND {head[0]}", "range")
+    add(f"warc_ts:[2024-06-01 TO 2025-01-01] AND {head[1]}", "range")
+    add(f"warc_ts:[2024-02-15 TO 2024-02-16] AND {head[0]}", "range")
+
+    add(f"{head[0]}^2 OR {mid[0]}", "boost")
+    add(f"{head[0]} OR {mid[0]}^0.1", "boost")
+
+    add(head[0], "paged", k=20, page=1)
+    add(head[0], "paged", k=20, page=3)
+    add(head[1], "paged", k=10, page=2)
+
+    add(f"{head[0]} OR {head[1]} OR {head[2]} OR {head[3]}", "or", k=100)  # near-all-docs
+    return qs

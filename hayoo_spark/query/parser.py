@@ -1,0 +1,179 @@
+"""Query-string parser -> AST.
+
+Surface modeled on the reference's query language as exercised by its
+frontends (/root/reference/Examples.md:1-49; hayoo-server/src/Hayoo/
+App.hs:144-200):
+
+    word                  exact term (lowercased — no-case default,
+                          App.hs:158-165)
+    word*                 prefix match (qWord prefix semantics,
+                          App.hs:196-200; explicit `*` here instead of
+                          prefix-by-default — documented deviation)
+    "w1 w2"               phrase (Examples.md:30)
+    lang:en  url:...      field-scoped filter (Examples.md:8-12)
+    warc_ts:[A TO B]      range on a date field (Examples.md:37-39)
+    a AND b, a OR b       boolean (Examples.md:19-23)
+    a AND NOT b           exclusion (Examples.md:23)
+    a b c                 implicit AND of words (default query,
+                          App.hs:156-165)
+    expr^2.5              boost (SURVEY.md §2.5 Q8)
+    ( ... )               grouping
+
+Pure Python; shared by the Spark executors and the exact oracle so both
+interpret exactly the same plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .plan import (
+    DEFAULT_FIELD,
+    FILTER_FIELDS,
+    RANGE_FIELDS,
+    And,
+    AndNot,
+    Node,
+    Or,
+    Phrase,
+    Prefix,
+    RangeFilter,
+    Term,
+)
+
+_LEX = re.compile(
+    r"""
+    \s*(
+        \( | \) |
+        "[^"]*" |
+        \[[^\]]*\] |
+        \^[0-9.]+ |
+        [^\s()^]+
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _LEX.match(q, pos)
+        if not m:
+            break
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+def parse(q: str) -> Node:
+    toks = _lex(q)
+    if not toks:
+        return And(())
+    node, rest = _parse_or(toks)
+    if rest:
+        raise QueryParseError(f"trailing tokens: {rest!r} in {q!r}")
+    return node
+
+
+def _parse_or(toks: list[str]):
+    left, toks = _parse_and(toks)
+    parts = [left]
+    while toks and toks[0].upper() == "OR":
+        nxt, toks = _parse_and(toks[1:])
+        parts.append(nxt)
+    return (parts[0] if len(parts) == 1 else Or(tuple(parts))), toks
+
+
+def _parse_and(toks: list[str]):
+    left, toks = _parse_atom(toks)
+    parts: list[Node] = [left]
+    negs: list[Node] = []
+    while toks:
+        head = toks[0].upper()
+        if head == "AND" and len(toks) > 1 and toks[1].upper() == "NOT":
+            nxt, toks = _parse_atom(toks[2:])
+            negs.append(nxt)
+        elif head == "NOT":
+            nxt, toks = _parse_atom(toks[1:])
+            negs.append(nxt)
+        elif head == "AND":
+            nxt, toks = _parse_atom(toks[1:])
+            parts.append(nxt)
+        elif head in (")", "OR"):
+            break
+        else:  # implicit AND (default query = AND of words, App.hs:156-165)
+            nxt, toks = _parse_atom(toks)
+            parts.append(nxt)
+    pos: Node = parts[0] if len(parts) == 1 else And(tuple(parts))
+    for n in negs:
+        pos = AndNot(pos, n)
+    return pos, toks
+
+
+def _parse_atom(toks: list[str]):
+    if not toks:
+        raise QueryParseError("unexpected end of query")
+    t, rest = toks[0], toks[1:]
+    if t == "(":
+        node, rest = _parse_or(rest)
+        if not rest or rest[0] != ")":
+            raise QueryParseError("unbalanced parenthesis")
+        rest = rest[1:]
+        return _maybe_boost(node, rest)
+    if t.startswith('"'):
+        words = t.strip('"').lower().split()
+        return _maybe_boost(Phrase(tuple(words)), rest)
+    if ":" in t and not t.startswith(":"):
+        field, _, val = t.partition(":")
+        field = field.lower()
+        if not val.startswith("[") and field in RANGE_FIELDS and rest and rest[0].startswith("["):
+            val = rest.pop(0)
+        if val.startswith("["):
+            while not val.endswith("]") and rest:
+                val = val + " " + rest.pop(0)
+            body = val.strip("[]")
+            m = re.split(r"\s+TO\s+", body, flags=re.IGNORECASE)
+            if len(m) != 2:
+                raise QueryParseError(f"bad range: {val!r}")
+            return _maybe_boost(RangeFilter(field, m[0].strip(), m[1].strip()), rest)
+        if field in FILTER_FIELDS:
+            return _maybe_boost(Term(val.lower(), field=field), rest)
+        # unknown field -> scoped text term (context scoping, Examples.md:8-12)
+        return _maybe_boost(_word(val, field), rest)
+    return _maybe_boost(_word(t, DEFAULT_FIELD), rest)
+
+
+def _word(w: str, field: str) -> Node:
+    w = w.lower()
+    if w.endswith("*") and len(w) > 1:
+        return Prefix(w[:-1], field=field)
+    return Term(w, field=field)
+
+
+def _maybe_boost(node: Node, rest: list[str]):
+    if rest and rest[0].startswith("^"):
+        b = float(rest[0][1:])
+        rest = rest[1:]
+        node = _apply_boost(node, b)
+    return node, rest
+
+
+def _apply_boost(node: Node, b: float) -> Node:
+    if isinstance(node, Term):
+        return Term(node.term, node.field, node.boost * b)
+    if isinstance(node, Prefix):
+        return Prefix(node.prefix, node.field, node.boost * b)
+    if isinstance(node, Phrase):
+        return Phrase(node.terms, node.field, node.boost * b)
+    if isinstance(node, And):
+        return And(tuple(_apply_boost(c, b) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_apply_boost(c, b) for c in node.children))
+    if isinstance(node, AndNot):
+        return AndNot(_apply_boost(node.left, b), node.right)
+    return node

@@ -1,0 +1,66 @@
+"""Parser tests: query surface per /root/reference/Examples.md semantics."""
+
+import pytest
+
+from hayoo_spark.query import plan as P
+from hayoo_spark.query.parser import QueryParseError, parse
+
+
+def test_single_term():
+    assert parse("Spark") == P.Term("spark")
+
+
+def test_implicit_and():
+    assert parse("fast join") == P.And((P.Term("fast"), P.Term("join")))
+
+
+def test_explicit_bool():
+    assert parse("a1 AND b2 OR c3") == P.Or(
+        (P.And((P.Term("a1"), P.Term("b2"))), P.Term("c3")))
+
+
+def test_and_not():
+    n = parse("alpha AND NOT beta")
+    assert n == P.AndNot(P.Term("alpha"), P.Term("beta"))
+
+
+def test_phrase():
+    assert parse('"big data join"') == P.Phrase(("big", "data", "join"))
+
+
+def test_prefix():
+    assert parse("spar*") == P.Prefix("spar")
+
+
+def test_field_filter():
+    assert parse("lang:EN") == P.Term("en", field="lang")
+
+
+def test_range():
+    n = parse("warc_ts:[2024-01-01 TO 2024-03-01]")
+    assert n == P.RangeFilter("warc_ts", "2024-01-01", "2024-03-01")
+
+
+def test_boost():
+    n = parse("spark^2.5")
+    assert n == P.Term("spark", boost=2.5)
+
+
+def test_grouping_with_boost():
+    n = parse("(alpha OR beta)^2")
+    assert n == P.Or((P.Term("alpha", boost=2.0), P.Term("beta", boost=2.0)))
+
+
+def test_compound():
+    n = parse('lang:en AND (fast OR slow*) AND NOT "bad phrase"')
+    assert isinstance(n, P.AndNot)
+    assert n.right == P.Phrase(("bad", "phrase"))
+
+
+def test_unbalanced_paren():
+    with pytest.raises(QueryParseError):
+        parse("(a AND b")
+
+
+def test_empty():
+    assert parse("") == P.And(())
