@@ -92,7 +92,11 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     rows.append(_row("https://edge.org/heavy", t_edge, " ".join([top] * 10_000), "en"))
 
     df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    df["warc_ts"] = (
+        pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+        .astype("datetime64[us]")
+    )
     return df
 
 

@@ -1,0 +1,293 @@
+"""Segmented inverted-index builder — the engine's build side.
+
+Architecture (designed for 10^12 docs / 1000 executors, tested on local):
+
+- the corpus is hash-partitioned by ``url`` into **document segments**
+  (Lucene-style).  Each segment owns its docs' norms and posting lists;
+  a segment is the unit of checkpointing, resume, and query parallelism.
+  Reference analogue: per-package batch partitioning + save intervals
+  (hayooIndexer/src/HayooIndexer.hs:85-88,351-368).
+- within a segment, postings are built by a term shuffle:
+  ``explode(tokens) -> groupBy(segment, term, doc) -> tf/positions ->
+  groupBy(segment, term, salt) -> Arrow grouped-map encode``.  Heavy
+  terms (Zipf head, df above a threshold) are **salted** into
+  sub-lists so no single group exceeds a bounded size — AQE does not
+  handle grouped-map skew, so this is explicit (SURVEY.md §4).
+- posting lists are sorted doc-id arrays stored delta+varbyte with
+  per-block max-score metadata (index/codec.py) for block-max WAND.
+- every segment batch appends a **checkpoint manifest** row with input
+  fingerprint + metrics (docs/sec, postings/sec, skew ratio); resume
+  skips segments already in the manifest, and per-segment output is
+  deterministic regardless of batch composition, so a resumed build is
+  bit-equal to a cold build (tested).
+
+Global BM25 stats (N, avgdl) are computed in a cheap first pass and
+frozen in ``stats/`` before any segment is encoded, so block upper
+bounds are exact and resume-safe.
+
+Index layout (partitioned parquet; an Iceberg catalog would slot in at
+the writer without touching the logic — storage shim per SURVEY.md §7):
+
+    index_dir/
+      stats/      one row: n_docs, avgdl, total_tokens
+      docs/       segment=K/: doc_id, url, warc_ts, lang, dl
+      postings/   segment=K/: term, salt, df, cf, ids_vb, tfs_vb,
+                  pos_vb, block_last, block_ub, max_ub
+      terms/      global dictionary: term, df, cf  (finalize step)
+      manifest/   checkpoint lineage (FIXTURES.md §4 schema)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from ..analysis import extract_text_series, tokens_col
+from . import codec
+
+DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
+DEFAULT_N_SALTS = 8
+
+POSTINGS_SCHEMA = StructType([
+    StructField("segment", IntegerType()),
+    StructField("term", StringType()),
+    StructField("salt", IntegerType()),
+    StructField("df", LongType()),
+    StructField("cf", LongType()),
+    StructField("ids_vb", BinaryType()),
+    StructField("tfs_vb", BinaryType()),
+    StructField("pos_vb", BinaryType()),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_ub", ArrayType(DoubleType())),
+    StructField("max_ub", DoubleType()),
+])
+
+
+def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add `text_x` extracted from html via a vectorized pandas UDF
+    (the input_hint hot path: Arrow batches, Series.str ops)."""
+    @F.pandas_udf(StringType())
+    def _extract(h: pd.Series) -> pd.Series:
+        return extract_text_series(h)
+
+    return df.withColumn("text_x", _extract(F.col(html_col)))
+
+
+def prepare_docs(pages: DataFrame, n_segments: int) -> DataFrame:
+    """pages -> deduped, segmented, tokenized docs.
+
+    - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133);
+    - segment = xxhash64(url) mod n_segments (document partitioning);
+    - doc_id = dense local ordinal, url-ascending within segment
+      (deterministic ⇒ resumable builds are bit-equal).
+    """
+    w_first = Window.partitionBy("url").orderBy("ord")
+    w_seg = Window.partitionBy("segment").orderBy("url")
+    return (
+        pages
+        .withColumn("ord", F.monotonically_increasing_id())
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ord")
+        .withColumn("segment", F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
+        .withColumn("tokens", tokens_col("text_x"))
+        .withColumn("dl", F.size("tokens"))
+        .withColumn("doc_id", (F.row_number().over(w_seg) - 1).cast("long"))
+    )
+
+
+def _encode_factory(avgdl: float, block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        ids_vb = codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64)))
+        tfs_vb = codec.varbyte_encode(tfs.astype(np.uint64))
+        pos_vb = codec.encode_positions(
+            [np.asarray(p, dtype=np.uint64) for p in pdf["positions"]])
+        last, ub = codec.block_maxes(ids, tfs, dls, avgdl, block_size)
+        return pd.DataFrame({
+            "segment": [int(pdf["segment"].iloc[0])],
+            "term": [pdf["term"].iloc[0]],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "df": [len(ids)],
+            "cf": [int(tfs.sum())],
+            "ids_vb": [ids_vb],
+            "tfs_vb": [tfs_vb],
+            "pos_vb": [pos_vb],
+            "block_last": [last.tolist()],
+            "block_ub": [ub.tolist()],
+            "max_ub": [float(ub.max()) if len(ub) else 0.0],
+        })
+    return encode_group
+
+
+def build_index(
+    spark: SparkSession,
+    pages_path: str,
+    index_dir: str,
+    n_segments: int = 8,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    salt_df_threshold: int = 4096,
+    n_salts: int = DEFAULT_N_SALTS,
+    segments_per_batch: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build (or resume) the index.  Returns build metrics.
+
+    ``segments_per_batch`` bounds the work between checkpoints (the
+    reference's save interval, HayooIndexer.hs:86-88); default = all
+    segments in one batch.
+    """
+    if not resume and os.path.exists(index_dir):
+        # cold build must not append onto stale segments
+        import shutil
+        for sub in ("stats", "docs", "postings", "terms", "manifest"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    pages = spark.read.parquet(pages_path)
+    docs = prepare_docs(extract_text(pages), n_segments)
+
+    stats_path = os.path.join(index_dir, "stats")
+    if resume and os.path.exists(stats_path):
+        srow = spark.read.parquet(stats_path).collect()[0]
+        n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    else:
+        agg = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n_docs, avgdl = agg["n_docs"], float(agg["avgdl"] or 1.0)
+        spark.createDataFrame(
+            [(int(n_docs), float(avgdl), int(agg["total_tokens"] or 0))],
+            "n_docs long, avgdl double, total_tokens long",
+        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+    manifest_path = os.path.join(index_dir, "manifest")
+    done: set[int] = set()
+    if resume and os.path.exists(manifest_path):
+        done = {r["partition_id"] for r in
+                spark.read.parquet(manifest_path).select("partition_id").collect()}
+
+    pending = [s for s in range(n_segments) if s not in done]
+    batch_size = segments_per_batch or max(1, len(pending))
+    metrics = {"segments_built": 0, "docs": 0, "postings": 0}
+
+    for i in range(0, len(pending), batch_size):
+        batch = pending[i : i + batch_size]
+        t0 = time.monotonic()
+        seg_docs = docs.filter(F.col("segment").isin(batch))
+        _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
+                        salt_df_threshold, n_salts)
+        _commit_manifest(spark, index_dir, batch, time.monotonic() - t0)
+        metrics["segments_built"] += len(batch)
+
+    finalize(spark, index_dir)
+    return metrics
+
+
+def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
+                    salt_df_threshold, n_salts):
+    seg_docs = seg_docs.persist()
+    (seg_docs
+     .select("segment", "doc_id", "url", "warc_ts", "lang", "dl")
+     .repartition("segment")
+     .sortWithinPartitions("doc_id")
+     .write.mode("append").partitionBy("segment")
+     .parquet(os.path.join(index_dir, "docs")))
+
+    tf = (
+        seg_docs
+        .select("segment", "doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("segment", "term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"),
+             F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+    # explicit Zipf-skew salting: heavy (segment, term) groups split by
+    # doc hash so no grouped-map partition exceeds ~salt_df_threshold rows
+    seg_df = tf.groupBy("segment", "term").agg(F.count("*").alias("seg_df"))
+    heavy = seg_df.filter(F.col("seg_df") > salt_df_threshold).select("segment", "term")
+    tf = (
+        tf.join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
+                ["segment", "term"], "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("is_heavy").isNotNull(),
+                   F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
+            .otherwise(F.lit(0)))
+        .drop("is_heavy")
+    )
+
+    encoded = tf.groupBy("segment", "term", "salt").applyInPandas(
+        _encode_factory(avgdl, block_size), POSTINGS_SCHEMA)
+    (encoded
+     .repartition("segment")
+     .sortWithinPartitions("term", "salt")
+     .write.mode("append").partitionBy("segment")
+     .parquet(os.path.join(index_dir, "postings")))
+    seg_docs.unpersist()
+
+
+def _commit_manifest(spark, index_dir, batch, elapsed):
+    """Per-partition checkpoint lineage + metrics (FIXTURES.md §4)."""
+    post = spark.read.parquet(os.path.join(index_dir, "postings")) \
+        .filter(F.col("segment").isin(batch))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
+        .filter(F.col("segment").isin(batch))
+    fp = docs.groupBy("segment").agg(
+        F.count("*").alias("docs"),
+        F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"))
+    pm = (post.groupBy("segment", "term").agg(F.sum("df").alias("tdf"))
+          .groupBy("segment")
+          .agg(F.sum("tdf").alias("postings"),
+               (F.max("tdf") / F.avg("tdf")).alias("skew_ratio")))
+    rows = {r["segment"]: r for r in fp.collect()}
+    prows = {r["segment"]: r for r in pm.collect()}
+    out = []
+    per_seg = elapsed / max(1, len(batch))
+    for s in batch:
+        d = rows.get(s)
+        p = prows.get(s)
+        ndocs = d["docs"] if d else 0
+        nposts = p["postings"] if p else 0
+        out.append((
+            f"seg-{s:05d}", s,
+            str(d["input_fingerprint"]) if d else "0",
+            int(ndocs), int(nposts),
+            ndocs / per_seg if per_seg else 0.0,
+            nposts / per_seg if per_seg else 0.0,
+            float(p["skew_ratio"]) if p and p["skew_ratio"] else 1.0,
+        ))
+    (spark.createDataFrame(
+        out,
+        "segment_id string, partition_id int, input_fingerprint string, "
+        "docs long, postings long, docs_per_sec double, "
+        "postings_per_sec double, skew_ratio double")
+     .withColumn("commit_ts", F.current_timestamp())
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(index_dir, "manifest")))
+
+
+def finalize(spark: SparkSession, index_dir: str) -> None:
+    """Global term dictionary (df, cf) — sort-merge of segment postings,
+    analogous to the reference's final index merge
+    (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union)."""
+    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    (post.groupBy("term")
+     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+     .repartitionByRange(max(1, post.rdd.getNumPartitions() // 4), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "terms")))

@@ -1,0 +1,247 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, each expressed Spark-first:
+
+- exact: hash-groupBy on content digest (the A6/A7 analogue —
+  reference dedups re-exports by Murmur64 content hash, hayooIndexer/
+  src/Hayoo/Hunt/FctIndexerCore.hs:276-295, and by first-wins URI,
+  newHayooIndexer/src/MainHoogle.hs:124-133);
+- n-gram Jaccard (exact): shingle explode -> self-join on shingle ->
+  |A∩B| / (|A|+|B|-|A∩B|) — quadratic only within shared-shingle
+  groups, the classic exact-verify step;
+- MinHash + LSH: shingle -> k permuted min-hashes -> band buckets ->
+  candidate pairs from bucket joins -> exact-Jaccard verify.  The scale
+  path: candidate generation is linear in corpus size; only candidates
+  pay the verify join;
+- SimHash: 64-bit weighted-projection signature per doc via a grouped
+  Arrow UDF (numpy bit ops), near-dup = small Hamming distance;
+- embedding cosine: exact pairwise above threshold (verify path for an
+  ANN front like ops/similarity.lsh_buckets).
+
+Hashes that must match a DuckDB oracle use md5-derived integers
+(identical on both engines); Spark-only paths use xxhash64 (faster,
+JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..analysis import tokens_col
+
+# md5-derived 56-bit integer hash — computable identically in DuckDB:
+#   CAST(CONV(substr(md5(x),1,14),16,10) AS BIGINT)  (Spark)
+#   ('0x' || substr(md5(x),1,14))::BIGINT            (DuckDB, if supported)
+def _md5i(col):
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def shingles(docs: DataFrame, key: str = "doc_id", text: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (key, shingle string)."""
+    toks = tokens_col(text)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select(key, F.explode(F.array_distinct(sh)).alias("shingle")) \
+        .filter(F.length("shingle") > 0)
+
+
+def exact_duplicates(docs: DataFrame, key: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (digest, n, keeper, members)."""
+    return (
+        docs.select(F.md5(F.col(text)).alias("digest"), F.col(key))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"),
+             F.min(key).alias("keeper"),
+             F.sort_array(F.collect_list(key)).alias("members"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, key: str = "doc_id",
+                        text: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
+
+    Self-join on shingle is the standard exact formulation; at corpus
+    scale you front it with MinHash-LSH candidates (below) so only
+    near-pairs reach this join.
+    """
+    sh = shingles(docs, key, text, n).persist()
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.withColumnRenamed(key, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(key, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jac", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b",
+                F.round(F.col("jac") * 10000).cast("bigint").alias("jaccard_x1e4"))
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, key: str = "doc_id",
+                       text: str = "text", n: int = 3,
+                       num_hashes: int = 32, seed: int = 42) -> DataFrame:
+    """(key, sig array<long>): MinHash over shingles with affine
+    permutations h_i(x) = (a_i*x + b_i) mod p on a base 56-bit md5 hash.
+    Deterministic given the seed."""
+    rng = np.random.RandomState(seed)
+    # 31-bit Mersenne-prime space: h' < 2^31, a < 2^15 -> a*h'+b < 2^47,
+    # no int64 overflow under ANSI mode
+    p = (1 << 31) - 1
+    coef = [(int(rng.randint(1, 1 << 15)), int(rng.randint(0, 1 << 31)))
+            for _ in range(num_hashes)]
+    sh = shingles(docs, key, text, n).withColumn(
+        "h", F.pmod(_md5i(F.col("shingle")), F.lit(p)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coef)
+    ]
+    sigs = sh.groupBy(key).agg(*aggs)
+    return sigs.select(key, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
+                      n: int = 3, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    band bucket join generates candidates in ~linear time; the verify
+    step recomputes exact Jaccard only on candidates — at 100 TB this is
+    the only affordable shape (the all-pairs join above is the oracle).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, key, text, n, num_hashes, seed)
+    bands_df = sigs.select(
+        key,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws("_", F.lit("band"), b.cast("string"),
+                                F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)))),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = shingles(docs, key, text, n)
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    ash = sh.withColumnRenamed(key, "id_a").withColumnRenamed("shingle", "s_a")
+    bsh = sh.withColumnRenamed(key, "id_b2").withColumnRenamed("shingle", "s_b")
+    inter = (
+        cands.join(ash, "id_a")
+        .join(bsh, (F.col("id_b") == F.col("id_b2")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed(key, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(key, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jac", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b",
+                F.round(F.col("jac") * 10000).cast("bigint").alias("jaccard_x1e4"))
+    )
+
+
+SIMHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("simhash", LongType()),
+])
+
+
+def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (tf-weighted token hash projection).
+
+    Grouped Arrow UDF: per doc, sum ±tf over the 64 bit-planes of each
+    token's xxhash64 — numpy bit unpacking, no per-token Python."""
+    tf = (docs.select(key, F.explode(tokens_col(text)).alias("term"))
+          .groupBy(key, "term").agg(F.count("*").alias("tf"))
+          .withColumn("h", F.xxhash64("term")))
+
+    def _sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
+        w = pdf["tf"].to_numpy(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        acc = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(acc > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame({"doc_id": [pdf[pdf.columns[0]].iloc[0]],
+                             "simhash": [np.int64(sig)]})
+
+    return tf.groupBy(key).applyInPandas(_sim, SIMHASH_SCHEMA)
+
+
+def simhash_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by 4-way signature banding (pigeonhole: any
+    pair within distance 3 shares at least one of 4 16-bit bands)."""
+    sigs = simhash(docs, key, text)
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4)
+    ])
+    bands = sigs.select(
+        key, "simhash", F.posexplode(band_arr).alias("band", "bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("id_a"), F.col("a.simhash").alias("sig_a"),
+                F.col(f"b.{key}").alias("id_b"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.withColumn("hamming", ham).filter(ham <= max_hamming) \
+        .select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(emb: DataFrame, key: str = "vec_id",
+                            vec: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Exact pairwise cosine >= threshold (a < b).  All-pairs — the
+    oracle/verify path; scale path = ops.similarity.lsh_buckets."""
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(F.col(key), F.col(vec).alias("v"), norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"),
+                F.round(F.col("cos") * 10000).cast("bigint").alias("cos_x1e4"))
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for webtext pipelines.
+
+All hot paths are JVM-side ``pyspark.sql.functions`` expressions (inside
+whole-stage codegen); each has an exact DuckDB-SQL twin used by the
+driver correctness gate.  Semantics derive from the reference's
+analysis chain (tokenizer + boring-word filter,
+hayooIndexer/src/Hayoo/IndexConfig.hs:62-116,214-219) generalized to
+corpus-quality operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import MIN_TOKEN_LEN, TOKEN_RE, tokens_col
+
+# tiny deterministic stopword lists (language-ID heuristic feature sets)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "es": ["el", "la", "de", "que", "en", "los", "del", "las", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "qui", "une", "sur"],
+}
+
+
+def token_count(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Tokens per doc under the canonical tokenizer (T4-T6 analogue)."""
+    return docs.select(
+        key, F.size(tokens_col(text)).alias("n_tokens"),
+        F.length(F.col(text)).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features: token count, mean token length, alpha ratio (letter chars /
+    non-space chars), English stopword ratio.  Composite is a fixed
+    linear blend, returned as x1e4 integer for cross-engine comparison.
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    nonspace = F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+    alpha = F.length(F.regexp_replace(F.col(text), r"[^A-Za-z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    out = docs.select(
+        key,
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, tok_chars.cast("double") / n_tokens)
+        .otherwise(F.lit(0.0)).alias("mean_tok_len"),
+        F.when(nonspace > 0, alpha.cast("double") / nonspace)
+        .otherwise(F.lit(0.0)).alias("alpha_ratio"),
+        F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+        .otherwise(F.lit(0.0)).alias("stop_ratio"),
+    )
+    comp = (
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("alpha_ratio") * 0.4
+        + F.least(F.col("stop_ratio") * 5.0, F.lit(1.0)) * 0.2
+    )
+    return out.withColumn("quality_x1e4",
+                          F.round(comp * 10000).cast("bigint"))
+
+
+def lang_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class).
+
+    Counts hits against per-language stopword sets; predicts the argmax
+    (ties broken by language code ascending), 'und' if no hits.
+    """
+    toks = tokens_col(text)
+
+    def _hits(arr):
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(w) for w in words])
+        cols.append(_hits(arr).alias(f"hits_{lang}"))
+    scored = docs.select(key, *cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    # ties broken by language code ascending: build the chain so the
+    # lexicographically first language's WHEN is evaluated first
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Order-sensitive 56-bit document fingerprint.
+
+    bit_xor over md5-derived hashes of (token, position) pairs — md5 and
+    bit_xor exist identically in Spark and DuckDB, so the oracle SQL can
+    reproduce it bit-for-bit (unlike xxhash64, which DuckDB lacks).
+    """
+    toks = docs.select(key, F.posexplode(tokens_col(text)).alias("pos", "term"))
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", "term", "pos")), 1, 14), 16, 10) \
+        .cast("bigint")
+    return (toks.withColumn("h", h)
+            .groupBy(key)
+            .agg(F.expr("bit_xor(h)").alias("fp"),
+                 F.count("*").alias("n_tokens")))
+
+
+def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
+    """(key, term, pos) with positions assigned AFTER the min-length
+    filter, matching tokens_col + posexplode exactly."""
+    return (
+        f"SELECT {key}, t.term, CAST(t.pos - 1 AS BIGINT) AS pos FROM {table}, "
+        f"UNNEST(list_filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'), "
+        f"x -> length(x) >= {MIN_TOKEN_LEN})) WITH ORDINALITY AS t(term, pos)"
+    )

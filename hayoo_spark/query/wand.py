@@ -1,0 +1,292 @@
+"""Per-segment DAAT evaluator with block-max pruning — the query core.
+
+Runs inside an Arrow grouped-map UDF, one invocation per index segment
+(SURVEY.md §3.1 Spark equivalent).  The driver ships the query AST, the
+per-term idf map (global stats), and the top-m budget; the evaluator
+decodes the segment's posting lists, evaluates document-at-a-time, and
+emits the segment-local top-m, which Spark then merges globally.
+
+Block-max pruning (the north rule's WAND requirement, vectorized):
+posting blocks carry exact per-block upper bounds ``idf * max_tf_norm``
+(index/codec.py).  For a flat OR/term query the doc-id space is cut at
+the union of all block boundaries into elementary intervals; each
+interval's bound is the sum of covering blocks' bounds.  Intervals are
+scored best-bound-first and scoring stops as soon as the next bound is
+below the current k-th score (θ) — provably exact, verified ≡
+exhaustive scoring in tests.  This trades the classic pointer-chasing
+WAND loop for batch pruning, which is the right shape inside an Arrow
+UDF (numpy batches, no per-posting Python).
+
+All scoring is float64; ties broken by url ascending (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..index import codec
+from . import plan as P
+
+
+class SegmentData:
+    """Decoded view of one segment: postings per term + doc metadata."""
+
+    def __init__(self, postings_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+        self.n_docs = len(docs_pdf)
+        docs_pdf = docs_pdf.sort_values("doc_id", kind="mergesort")
+        self.urls = docs_pdf["url"].to_numpy(object)
+        self.langs = docs_pdf["lang"].to_numpy(object)
+        self.warc_ts = docs_pdf["warc_ts"].to_numpy()
+        self.dl = docs_pdf["dl"].to_numpy(np.float64)
+        self._raw: dict[str, list] = {}
+        for row in postings_pdf.itertuples(index=False):
+            self._raw.setdefault(row.term, []).append(row)
+        self._decoded: dict[str, tuple] = {}
+
+    def postings(self, term: str):
+        """(doc_ids int64 sorted, tfs int64, block_last, block_ub) —
+        salted sub-lists merged (disjoint doc sets -> concat + sort)."""
+        if term in self._decoded:
+            return self._decoded[term]
+        rows = self._raw.get(term)
+        if not rows:
+            out = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                   np.zeros(0, np.int64), np.zeros(0, np.float64))
+        elif len(rows) == 1:
+            r = rows[0]
+            ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
+            out = (ids.astype(np.int64), tfs.astype(np.int64),
+                   np.asarray(r.block_last, np.int64),
+                   np.asarray(r.block_ub, np.float64))
+        else:
+            # salted heavy term: sub-lists hold disjoint doc sets; merge
+            # them and REBUILD block metadata (concatenating per-salt
+            # blocks would interleave doc-id ranges and break the
+            # searchsorted interval bounds in top_m_pruned)
+            ids_l, tfs_l = [], []
+            for r in rows:
+                ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
+                ids_l.append(ids.astype(np.int64))
+                tfs_l.append(tfs.astype(np.int64))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+            blast, bub = codec.block_maxes(ids, tfs, self.dl[ids], self._avgdl)
+            out = (ids, tfs, blast, bub)
+        self._decoded[term] = out
+        return out
+
+    def positions(self, term: str) -> dict[int, np.ndarray]:
+        """doc_id -> positions (decoded lazily, phrase queries only)."""
+        rows = self._raw.get(term, [])
+        out: dict[int, np.ndarray] = {}
+        for r in rows:
+            ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
+            poss = codec.decode_positions(r.pos_vb, tfs)
+            for d, p in zip(ids.astype(np.int64), poss):
+                out[int(d)] = p.astype(np.int64)
+        return out
+
+    def term_scores(self, term: str, idf: float):
+        ids, tfs, _, _ = self.postings(term)
+        norms = codec.tf_norm(tfs, self.dl[ids], self._avgdl)
+        return ids, idf * norms
+
+    _avgdl = 1.0  # set by evaluator
+
+
+def _flat_terms(node: P.Node):
+    """If node is a Term / flat Or-of-Terms / flat And-of-Terms on the
+    text field, return ('or'|'and', [(term, boost)]); else None."""
+    if isinstance(node, P.Term) and node.field == P.DEFAULT_FIELD:
+        return "or", [(node.term, node.boost)]
+    if isinstance(node, (P.Or, P.And)) and node.children:
+        kind = "or" if isinstance(node, P.Or) else "and"
+        leaves = []
+        for c in node.children:
+            if isinstance(c, P.Term) and c.field == P.DEFAULT_FIELD:
+                leaves.append((c.term, c.boost))
+            else:
+                return None
+        return kind, leaves
+    return None
+
+
+class SegmentEvaluator:
+    def __init__(self, seg: SegmentData, idf: dict[str, float], avgdl: float):
+        self.seg = seg
+        self.idf = idf
+        seg._avgdl = avgdl
+        self.avgdl = avgdl
+
+    # ---------- generic exhaustive evaluation (full query surface) ----------
+
+    def evaluate(self, node: P.Node):
+        """-> (doc_ids int64 sorted asc, scores float64)."""
+        s = self.seg
+        if isinstance(node, P.Term):
+            if node.field == P.DEFAULT_FIELD:
+                ids, sc = s.term_scores(node.term, self.idf.get(node.term, 0.0))
+                return ids, node.boost * sc
+            if node.field == "lang":
+                ids = np.flatnonzero(s.langs == node.term).astype(np.int64)
+                return ids, np.zeros(len(ids))
+            if node.field == "url":
+                ids = np.flatnonzero(s.urls == node.term).astype(np.int64)
+                return ids, np.zeros(len(ids))
+            return np.zeros(0, np.int64), np.zeros(0)
+        if isinstance(node, P.RangeFilter):
+            lo = np.datetime64(pd.Timestamp(node.lo))
+            hi = np.datetime64(pd.Timestamp(node.hi))
+            mask = (s.warc_ts >= lo) & (s.warc_ts < hi)
+            ids = np.flatnonzero(mask).astype(np.int64)
+            return ids, np.zeros(len(ids))
+        if isinstance(node, P.Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, P.And):
+            if not node.children:
+                return np.zeros(0, np.int64), np.zeros(0)
+            ids, sc = self.evaluate(node.children[0])
+            for c in node.children[1:]:
+                cids, csc = self.evaluate(c)
+                ids, ia, ib = np.intersect1d(ids, cids, assume_unique=True,
+                                             return_indices=True)
+                sc = sc[ia] + csc[ib]
+            return ids, sc
+        if isinstance(node, P.Or):
+            all_ids, all_sc = [], []
+            for c in node.children:
+                cids, csc = self.evaluate(c)
+                all_ids.append(cids)
+                all_sc.append(csc)
+            cat = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
+            if cat.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0)
+            uniq, inv = np.unique(cat, return_inverse=True)
+            acc = np.zeros(len(uniq))
+            np.add.at(acc, inv, np.concatenate(all_sc))
+            return uniq.astype(np.int64), acc
+        if isinstance(node, P.AndNot):
+            lids, lsc = self.evaluate(node.left)
+            rids, _ = self.evaluate(node.right)
+            keep = ~np.isin(lids, rids, assume_unique=True)
+            return lids[keep], lsc[keep]
+        raise TypeError(f"unknown node {node!r}")
+
+    def _eval_phrase(self, node: P.Phrase):
+        s = self.seg
+        if not node.terms:
+            return np.zeros(0, np.int64), np.zeros(0)
+        ids0, _, _, _ = s.postings(node.terms[0])
+        cand = ids0
+        for t in node.terms[1:]:
+            tids, _, _, _ = s.postings(t)
+            cand = np.intersect1d(cand, tids, assume_unique=True)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0)
+        pos_maps = [s.positions(t) for t in node.terms]
+        out_ids = []
+        for d in cand:
+            starts = set(pos_maps[0][int(d)].tolist())
+            for i, m in enumerate(pos_maps[1:], start=1):
+                starts &= {int(p) - i for p in m[int(d)]}
+                if not starts:
+                    break
+            if starts:
+                out_ids.append(int(d))
+        if not out_ids:
+            return np.zeros(0, np.int64), np.zeros(0)
+        ids = np.array(out_ids, dtype=np.int64)
+        sc = np.zeros(len(ids))
+        for t in node.terms:
+            tids, tsc = s.term_scores(t, self.idf.get(t, 0.0))
+            _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
+                                       return_indices=True)
+            add = np.zeros(len(ids))
+            add[ia] = tsc[ib]
+            sc = sc + node.boost * add
+        return ids, sc
+
+    # ---------- block-max pruned top-m (flat term queries) ----------
+
+    def top_m_pruned(self, kind: str, leaves: list[tuple[str, float]], m: int):
+        """Exact top-m for flat OR/AND of terms using block upper bounds.
+
+        OR: elementary-interval pruning best-bound-first (block-max WAND
+        semantics, batch form).  AND: sorted-array intersection (already
+        sublinear), then exact scoring.
+        """
+        s = self.seg
+        if kind == "and":
+            ids = None
+            for t, _ in leaves:
+                tids, _, _, _ = s.postings(t)
+                ids = tids if ids is None else np.intersect1d(ids, tids, assume_unique=True)
+                if ids.size == 0:
+                    break
+            if ids is None or ids.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0)
+            sc = np.zeros(len(ids))
+            for t, boost in leaves:
+                tids, tsc = s.term_scores(t, self.idf.get(t, 0.0))
+                _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
+                                           return_indices=True)
+                sc[ia] += boost * tsc[ib]
+            return self._cut(ids, sc, m)
+
+        # OR: build elementary intervals from the union of block boundaries
+        terms = [(t, b, *s.postings(t)) for t, b in leaves]
+        terms = [t for t in terms if t[2].size > 0]
+        if not terms:
+            return np.zeros(0, np.int64), np.zeros(0)
+        bounds = np.unique(np.concatenate([t[4] for t in terms]))  # block_last unions
+        # per interval upper bound = sum over terms of covering block ub
+        iv_ub = np.zeros(len(bounds))
+        for t, boost, ids, tfs, blast, bub in terms:
+            idf = self.idf.get(t, 0.0)
+            cover = np.searchsorted(blast, bounds, side="left")
+            valid = cover < len(blast)
+            iv_ub[valid] += boost * idf * bub[cover[valid]]
+        order = np.argsort(-iv_ub, kind="stable")
+
+        top_ids: list[np.ndarray] = []
+        top_sc: list[np.ndarray] = []
+        theta = -np.inf
+        count = 0
+        for oi in order:
+            if count >= m and iv_ub[oi] < theta:
+                break  # no remaining interval can reach the current top-m
+            lo = bounds[oi - 1] + 1 if oi > 0 else 0
+            hi = bounds[oi]
+            iv_cat_ids, iv_cat_sc = [], []
+            for t, boost, ids, tfs, blast, bub in terms:
+                a = np.searchsorted(ids, lo, side="left")
+                b = np.searchsorted(ids, hi, side="right")
+                if a == b:
+                    continue
+                sl_ids = ids[a:b]
+                norms = codec.tf_norm(tfs[a:b], s.dl[sl_ids], self.avgdl)
+                iv_cat_ids.append(sl_ids)
+                iv_cat_sc.append(boost * self.idf.get(t, 0.0) * norms)
+            if not iv_cat_ids:
+                continue
+            cat = np.concatenate(iv_cat_ids)
+            uniq, inv = np.unique(cat, return_inverse=True)
+            acc = np.zeros(len(uniq))
+            np.add.at(acc, inv, np.concatenate(iv_cat_sc))
+            top_ids.append(uniq.astype(np.int64))
+            top_sc.append(acc)
+            count += len(uniq)
+            if count >= m:
+                allsc = np.concatenate(top_sc)
+                if len(allsc) >= m:
+                    theta = np.partition(allsc, -m)[-m]
+        ids = np.concatenate(top_ids)
+        sc = np.concatenate(top_sc)
+        return self._cut(ids, sc, m)
+
+    def _cut(self, ids: np.ndarray, sc: np.ndarray, m: int):
+        order = np.lexsort((self.seg.urls[ids], -sc))[:m]
+        return ids[order], sc[order]

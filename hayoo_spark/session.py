@@ -23,6 +23,13 @@ def get_spark(
     partitions default to ``cores`` — at cluster scale this would be
     set to ~2-3x total executor cores; AQE coalesces downward.
     """
+    # make the package importable in python workers (same effect as
+    # shipping the package zip via spark-submit --py-files)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
@@ -40,6 +47,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("HAYOO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     return builder.getOrCreate()

@@ -1,0 +1,116 @@
+"""Build-side invariants: resume ≡ cold build (bit-equal segments),
+manifest lineage, salting neutrality (SURVEY.md §5.3, FIXTURES.md §4)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hayoo_spark import fixtures
+from hayoo_spark.index import builder
+
+
+def _snapshot(spark, ix):
+    """Canonical content view of an index (order-insensitive)."""
+    post = (
+        spark.read.parquet(f"{ix}/postings")
+        .select("segment", "term", "salt", "df", "cf",
+                F.md5(F.hex("ids_vb")).alias("ids_h"),
+                F.md5(F.hex("tfs_vb")).alias("tfs_h"),
+                F.md5(F.hex("pos_vb")).alias("pos_h"),
+                "block_last", "block_ub")
+        .orderBy("segment", "term", "salt")
+        .toPandas()
+    )
+    docs = (
+        spark.read.parquet(f"{ix}/docs")
+        .select("segment", "doc_id", "url", "dl")
+        .orderBy("segment", "doc_id")
+        .toPandas()
+    )
+    return post, docs
+
+
+@pytest.fixture(scope="module")
+def small_pages_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpages")
+    out = d / "pages.parquet"
+    fixtures.make_pages(150).to_parquet(out, index=False)
+    return str(out)
+
+
+def test_resume_equals_cold_build(spark, small_pages_path, tmp_path_factory):
+    root = tmp_path_factory.mktemp("resume")
+    cold = str(root / "cold")
+    warm = str(root / "warm")
+    builder.build_index(spark, small_pages_path, cold, n_segments=4,
+                        salt_df_threshold=32, n_salts=4)
+
+    # interrupted build: batch size 1, crash after 2 segments
+    calls = {"n": 0}
+    orig = builder._commit_manifest
+
+    def crashing(spark_, ix, batch, elapsed):
+        orig(spark_, ix, batch, elapsed)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+
+    builder._commit_manifest = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            builder.build_index(spark, small_pages_path, warm, n_segments=4,
+                                salt_df_threshold=32, n_salts=4,
+                                segments_per_batch=1)
+    finally:
+        builder._commit_manifest = orig
+
+    done = spark.read.parquet(f"{warm}/manifest")
+    assert done.count() == 2  # checkpointed exactly the committed segments
+
+    builder.build_index(spark, small_pages_path, warm, n_segments=4,
+                        salt_df_threshold=32, n_salts=4,
+                        segments_per_batch=1, resume=True)
+
+    pc, dc = _snapshot(spark, cold)
+    pw, dw = _snapshot(spark, warm)
+    pd.testing.assert_frame_equal(pc, pw)
+    pd.testing.assert_frame_equal(dc, dw)
+
+
+def test_manifest_lineage(spark, index_dir):
+    m = spark.read.parquet(f"{index_dir}/manifest").toPandas()
+    assert set(m.columns) >= {
+        "segment_id", "partition_id", "input_fingerprint", "docs",
+        "postings", "docs_per_sec", "postings_per_sec", "skew_ratio",
+        "commit_ts"}
+    assert m["docs"].sum() > 0
+    assert (m["skew_ratio"] >= 1.0).all()
+    assert m["docs_per_sec"].gt(0).all()
+
+
+def test_salting_splits_heavy_terms(spark, index_dir):
+    post = spark.read.parquet(f"{index_dir}/postings")
+    heavy = fixtures.make_vocab()[0]
+    salts = post.filter(F.col("term") == heavy).select("salt").distinct().count()
+    assert salts > 1, "heavy Zipf term should be salted into sub-lists"
+    # salted sub-lists stay bounded
+    mx = post.filter(F.col("term") == heavy).agg(F.max("df")).collect()[0][0]
+    tot = post.filter(F.col("term") == heavy).agg(F.sum("df")).collect()[0][0]
+    assert mx < tot
+
+
+def test_unsalted_build_same_results(spark, small_pages_path, tmp_path_factory, oracle_ix):
+    """Salting is a physical detail: salted and unsalted indexes must
+    return identical search results."""
+    from hayoo_spark.query.engine import SearchEngine
+
+    root = tmp_path_factory.mktemp("nosalt")
+    a = str(root / "salted")
+    b = str(root / "plain")
+    builder.build_index(spark, small_pages_path, a, n_segments=2,
+                        salt_df_threshold=16, n_salts=4)
+    builder.build_index(spark, small_pages_path, b, n_segments=2,
+                        salt_df_threshold=10**9)
+    ea, eb = SearchEngine(spark, a), SearchEngine(spark, b)
+    for q in ["baba", "baba OR bibaba", "baba AND bibaba"]:
+        assert ea.search(q, k=10) == eb.search(q, k=10)

@@ -1,0 +1,37 @@
+"""The correctness gate: engine top-k rank-identical to the exact oracle
+over the full reference query set (BASELINE.json north rule)."""
+
+import numpy as np
+import pytest
+
+from hayoo_spark import fixtures, oracle
+from tests.conftest import N_DOCS
+
+QUERIES = fixtures.make_queries(N_DOCS)
+
+
+def _check(engine, oracle_ix, query, k, page):
+    got = engine.search(query, k=k, page=page)
+    want = oracle.search(oracle_ix, query, k=k, page=page)
+    assert [u for u, _ in got] == [u for u, _ in want], (
+        f"rank mismatch for {query!r}:\n got={got[:5]}\nwant={want[:5]}")
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, f"score mismatch {query!r} {gu}: {gs} vs {ws}"
+
+
+@pytest.mark.parametrize(
+    "q", QUERIES, ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERIES])
+def test_reference_query_set(engine, oracle_ix, q):
+    _check(engine, oracle_ix, q["query"], q["k"], q["page"])
+
+
+def test_autocomplete_parity(engine, oracle_ix):
+    for prefix in ["ba", "bi", "so", "zz"]:
+        got = engine.autocomplete(prefix, n=10)
+        want = oracle.autocomplete(oracle_ix, prefix, n=10)
+        assert got == want, f"autocomplete({prefix!r}): {got} vs {want}"
+
+
+def test_stats_match_oracle(engine, oracle_ix):
+    assert engine.n_docs == oracle_ix.n_docs
+    assert np.isclose(engine.avgdl, oracle_ix.avgdl)
