@@ -1,38 +1,527 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the hayoo-spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 over the driver's testdata tables (documents / embeddings /
+events / orders ...); ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+Column names and integer-rounded scores (``*_x1e4``) match on both
+sides so the driver's order-insensitive value-hash compares cleanly.
+
+The segment/WAND index engine itself (posting lists, block-max pruning,
+resume) is exercised by `python -m pytest -x -q` against the exact
+Python oracle (rank-identical top-k BM25 — the BASELINE.json gate);
+the entries here are the SQL-expressible operator surface.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hayoo_spark.analysis import MIN_TOKEN_LEN, TOKEN_RE, tokens_col
+from hayoo_spark.ops import dedup, similarity, textstats
+from hayoo_spark.query import relational
+
+K1, B = relational.K1, relational.B
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tf(spark, sf_dir):
+    return relational.corpus_tokens(_docs(spark, sf_dir))
+
+
+def _score_out(scored: DataFrame) -> DataFrame:
+    return scored.select("doc_id", "score_x1e4", "n_terms")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_bm25_term(spark, sf_dir):
+    """Q2/Q3 single-term scoring (full-word, no-case) — SURVEY §2.5."""
+    return _score_out(relational.score_terms(_tf(spark, sf_dir), ["spark"]))
+
+
+def q_bm25_and(spark, sf_dir):
+    """Q6 AND: posting intersection with score sum."""
+    return _score_out(relational.score_terms(
+        _tf(spark, sf_dir), ["spark", "join", "window"], mode="and"))
+
+
+def q_bm25_or(spark, sf_dir):
+    """Q6 OR: union with score sum."""
+    return _score_out(relational.score_terms(_tf(spark, sf_dir), ["hash", "merge"]))
+
+
+def q_bm25_andnot(spark, sf_dir):
+    """Q6 AND NOT: left anti join on the exclusion term's doc set."""
+    tf = _tf(spark, sf_dir)
+    scored = relational.score_terms(tf, ["scan"])
+    excl = tf.filter(F.col("term") == "stream").select("doc_id").distinct()
+    return _score_out(scored.join(excl, "doc_id", "left_anti"))
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """Q1 prefix match: term-dictionary range scan -> OR of expansions."""
+    return _score_out(relational.score_terms(_tf(spark, sf_dir), None, prefix="s"))
+
+
+def q_phrase(spark, sf_dir):
+    """Q4 phrase: adjacent positions via self-join on pos+1."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "term"))
+    a = toks.filter(F.col("term") == "fast").select("doc_id", F.col("pos").alias("p0"))
+    b = toks.filter(F.col("term") == "join").select("doc_id", F.col("pos").alias("p1"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("p1") == F.col("p0") + 1)
+        .groupBy("doc_id").agg(F.count("*").alias("n_occ"))
+    )
+
+
+def q_field_scoped(spark, sf_dir):
+    """Q5 field-scoped query: lang filter restricts matches, global stats."""
+    tf = _tf(spark, sf_dir)
+    en = _docs(spark, sf_dir).filter(F.lower("lang") == "en").select("doc_id")
+    return _score_out(relational.score_terms(tf, ["table"])).join(en, "doc_id")
+
+
+def q_range_filter(spark, sf_dir):
+    """Q7 range query on a timestamp field (events stream table)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter((F.col("ts") >= F.lit("2024-01-08")) & (F.col("ts") < F.lit("2024-01-15")))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_x100"))
+    )
+
+
+def q_topk_paging(spark, sf_dir):
+    """Q10 top-k + paging: page 1 (offset 20, limit 20), deterministic
+    integer-score ordering with doc_id tie-break."""
+    scored = relational.score_terms(_tf(spark, sf_dir), ["table", "row"])
+    return (
+        scored.orderBy(F.col("score_x1e4").desc(), F.col("doc_id"))
+        .limit(40)
+        .orderBy(F.col("score_x1e4").desc(), F.col("doc_id"))
+        .offset(20)
+        .select("doc_id", "score_x1e4")
+    )
+
+
+def q_autocomplete(spark, sf_dir):
+    """Q11 completion: prefix scan of the term dictionary by df desc."""
+    tf = _tf(spark, sf_dir)
+    return (
+        tf.filter(F.col("term").startswith("s"))
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(10)
+    )
+
+
+def q_boost(spark, sf_dir):
+    """Q8 boosts: per-term weights folded into the score sum."""
+    tf = _tf(spark, sf_dir)
+    n_docs, avgdl = relational.corpus_stats(tf)
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = F.when(F.col("term") == "spark", 2.0).otherwise(0.5)
+    return (
+        tf.filter(F.col("term").isin(["spark", "join"]))
+        .join(F.broadcast(df_rel), "term")
+        .withColumn("contrib", relational.bm25_expr(n_docs, avgdl) * w)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib") * 10000).cast("bigint").alias("score_x1e4"))
+    )
+
+
+def q_latest_version_dedup(spark, sf_dir):
+    """S4 latest-version dedup scan: keep max-version row per key
+    (reference: TarUtil.hs:93-134) — latest order per customer here."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_join_compose(spark, sf_dir):
+    """R2 relation composition: supplier ⋈ nation ⋈ region with
+    broadcast of the small sides (reference: PackageRank.hs:141-174)."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def d_exact_dup(spark, sf_dir):
+    """A6/A7 exact dedup by content digest (md5 groups)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def d_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def d_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-verified (rows-only check:
+    LSH recall is probabilistic, so no SQL twin is claimed)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def d_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def d_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact pairwise, double precision)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.30)
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = similarity.cosine_topk(emb, list(qvec), k=10)
+    return out.select("vec_id", "cos_x1e6")
+
+
+def sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (rows-only: approximate by design)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = similarity.lsh_cosine_topk(emb, list(qvec), k=10, bits=6, multiprobe=2)
+    return out.select("vec_id", "cos_x1e6")
+
+
+def t_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def t_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens", "quality_x1e4")
+
+
+def t_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)) \
+        .select("doc_id", "hits_en", "hits_de", "pred_lang")
+
+
+def t_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Stateful-fold analogue (T12): per-user session counts with a
+    30-minute inactivity gap, via window lag + running sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact integers on both engines (unix_micros / epoch_us);
+    # session tz is UTC so the NTZ->LTZ cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", F.coalesce(gap, F.lit(0))) \
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id")
+        .agg((F.max("sess_id") + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-term BM25 AND over sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _score_out(relational.score_terms(
+        _tf(spark, sf_dir), ["table", "join"], mode="and"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_bm25_term": q_bm25_term,
+        "q_bm25_and": q_bm25_and,
+        "q_bm25_or": q_bm25_or,
+        "q_bm25_andnot": q_bm25_andnot,
+        "q_bm25_prefix": q_bm25_prefix,
+        "q_phrase": q_phrase,
+        "q_field_scoped": q_field_scoped,
+        "q_range_filter": q_range_filter,
+        "q_topk_paging": q_topk_paging,
+        "q_autocomplete": q_autocomplete,
+        "q_boost": q_boost,
+        "q_latest_version_dedup": q_latest_version_dedup,
+        "q_join_compose": q_join_compose,
+        "q_events_sessionize": q_events_sessionize,
+        "d_exact_dup": d_exact_dup,
+        "d_ngram_jaccard": d_ngram_jaccard,
+        "d_minhash_lsh": d_minhash_lsh,
+        "d_simhash": d_simhash,
+        "d_embed_neardup": d_embed_neardup,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_lsh_topk": sim_lsh_topk,
+        "t_token_count": t_token_count,
+        "t_quality": t_quality,
+        "t_lang_id": t_lang_id,
+        "t_fingerprint": t_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS = (
+    "SELECT doc_id, t.term FROM documents, "
+    f"UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t(term) "
+    f"WHERE length(t.term) >= {MIN_TOKEN_LEN}"
+)
+
+_TOKS_POS = textstats.duckdb_tokens_cte("documents", "doc_id", "text")
+
+_BM25_CTES = f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_select(pred: str, having: str = "", weight: str = "1.0") -> str:
+    contrib = (
+        f"ln(1.0 + (stats.n - dfr.df + 0.5)/(dfr.df + 0.5)) * {weight} "
+        f"* tf.tf * ({K1} + 1.0) "
+        f"/ (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+    )
+    return f""",
+scores AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(sum({contrib}) * 10000) AS BIGINT) AS score_x1e4,
+         count(DISTINCT tf.term) AS n_terms
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE {pred}
+  GROUP BY tf.doc_id
+  {having})
+"""
+
+
+_EMB_DOT = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, e.embedding AS v, q.qv FROM embeddings e CROSS JOIN q
+),
+expl AS (
+  SELECT vec_id,
+         unnest(v)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM pairs
+),
+dots AS (
+  SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+  FROM expl GROUP BY vec_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    sql["q_bm25_term"] = _BM25_CTES + _bm25_select("tf.term IN ('spark')") + \
+        "SELECT doc_id, score_x1e4, n_terms FROM scores"
+    sql["q_bm25_and"] = _BM25_CTES + _bm25_select(
+        "tf.term IN ('spark','join','window')",
+        "HAVING count(DISTINCT tf.term) = 3") + \
+        "SELECT doc_id, score_x1e4, n_terms FROM scores"
+    sql["q_bm25_or"] = _BM25_CTES + _bm25_select("tf.term IN ('hash','merge')") + \
+        "SELECT doc_id, score_x1e4, n_terms FROM scores"
+    sql["q_bm25_andnot"] = _BM25_CTES + _bm25_select("tf.term IN ('scan')") + """
+SELECT doc_id, score_x1e4, n_terms FROM scores
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream')"""
+    sql["q_bm25_prefix"] = _BM25_CTES + _bm25_select("tf.term LIKE 's%'") + \
+        "SELECT doc_id, score_x1e4, n_terms FROM scores"
+    sql["q_phrase"] = f"""
+WITH toks AS ({_TOKS_POS})
+SELECT a.doc_id, count(*) AS n_occ
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'fast' AND b.term = 'join'
+GROUP BY a.doc_id"""
+    sql["q_field_scoped"] = _BM25_CTES + _bm25_select("tf.term IN ('table')") + """
+SELECT s.doc_id, s.score_x1e4, s.n_terms FROM scores s
+JOIN documents d ON d.doc_id = s.doc_id WHERE lower(d.lang) = 'en'"""
+    sql["q_range_filter"] = """
+SELECT event_type, count(*) AS n,
+       CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type"""
+    sql["q_topk_paging"] = _BM25_CTES + _bm25_select("tf.term IN ('table','row')") + """
+SELECT doc_id, score_x1e4 FROM scores
+ORDER BY score_x1e4 DESC, doc_id LIMIT 20 OFFSET 20"""
+    sql["q_autocomplete"] = f"""
+WITH toks AS ({_TOKS}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df FROM d ORDER BY df DESC, term LIMIT 10"""
+    sql["q_boost"] = _BM25_CTES + _bm25_select(
+        "tf.term IN ('spark','join')",
+        weight="(CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 0.5 END)") + \
+        "SELECT doc_id, score_x1e4 FROM scores"
+    sql["q_latest_version_dedup"] = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1"""
+    sql["q_join_compose"] = """
+SELECT r.r_name AS region, count(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
+    sql["q_events_sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered)
+SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id"""
+    sql["d_exact_dup"] = """
+SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)"""
+    sql["d_ngram_jaccard"] = _jaccard_sql(0.2)
+    sql["d_embed_neardup"] = """
+WITH expl AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.x * b.x) AS dot,
+         sqrt(sum(a.x * a.x)) AS na, sqrt(sum(b.x * b.x)) AS nb
+  FROM expl a JOIN expl b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT id_a, id_b, CAST(ROUND(dot/(na*nb) * 10000) AS BIGINT) AS cos_x1e4
+FROM pairs WHERE dot/(na*nb) >= 0.30"""
+    sql["sim_cosine_topk"] = _EMB_DOT + """
+SELECT vec_id, CAST(ROUND(dot/(na*nb) * 1000000) AS BIGINT) AS cos_x1e6
+FROM dots ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
+    sql["t_token_count"] = f"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                       x -> length(x) >= {MIN_TOKEN_LEN})) AS n_tokens,
+       length(text) AS n_chars
+FROM documents"""
+    sql["t_fingerprint"] = f"""
+WITH toks AS ({_TOKS_POS})
+SELECT doc_id,
+       bit_xor(('0x' || substr(md5(term || ':' || pos), 1, 14))::BIGINT) AS fp,
+       count(*) AS n_tokens
+FROM toks GROUP BY doc_id"""
+    sql["t_quality"] = _quality_sql()
+    sql["t_lang_id"] = _lang_id_sql()
+    return sql
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                             x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN array_to_string(toks[i:i+2], ' ')
+                ELSE array_to_string(toks, ' ') END AS shingle
+    FROM f, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+                     THEN range(1, len(toks) - 1)
+                     ELSE [1] END) AS i))
+  WHERE length(shingle) > 0),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       CAST(ROUND(ix * 1.0 / (sa.sz + sb.sz - ix) * 10000) AS BIGINT)
+         AS jaccard_x1e4
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= {threshold}"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / length(regexp_replace(text, '\\s+', '', 'g'))
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','that','it','for','was')))
+                   * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM f)
+SELECT doc_id, n_tokens,
+       CAST(ROUND((least(n_tokens / 100.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) AS BIGINT)
+         AS quality_x1e4
+FROM feat"""
+
+
+def _lang_id_sql() -> str:
+    from hayoo_spark.ops.textstats import STOPWORDS
+    cases = []
+    hits = {}
+    for lg in sorted(STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        hits[lg] = f"len(list_filter(toks, x -> x IN ({lst})))"
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in sorted(STOPWORDS)) + ")"
+    pred = "'und'"
+    for lg in sorted(STOPWORDS, reverse=True):
+        pred = f"CASE WHEN best > 0 AND h_{lg} = best THEN '{lg}' ELSE {pred} END"
+    sel = ", ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents),
+h AS (SELECT doc_id, {sel} FROM f),
+hb AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id, h_en AS hits_en, h_de AS hits_de, {pred} AS pred_lang FROM hb"""

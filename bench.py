@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Benchmark entry point.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ...,
+   "index": {build docs/sec, query p50/p99}, "scaling": {N vs 4N}}
+
+Covers (a) the headline relational/ops queries over
+``$SPARK_GRAFT_SF_DIR`` tables, (b) the inverted-index engine: build
+throughput + query latency over a generated webtext corpus, and (c) the
+north-rule scaling evidence: the same build at two local parallelism
+levels (local[N] vs local[4N]) with throughput scaling efficiency.
+
+Scaling runs execute in fresh subprocesses so each gets a clean JVM.
+Set HAYOO_BENCH_SCALING=0 to skip, HAYOO_BENCH_DOCS to resize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("HAYOO_BENCH_DOCS", "30000"))
+DO_SCALING = os.environ.get("HAYOO_BENCH_SCALING", "1") == "1"
+
+HEADLINE = [
+    "q_bm25_term", "q_bm25_and", "q_bm25_or", "q_bm25_prefix", "q_phrase",
+    "q_topk_paging", "q_events_sessionize", "d_ngram_jaccard",
+    "d_minhash_lsh", "sim_cosine_topk", "t_fingerprint", "t_quality",
+]
+
+ENGINE_QUERIES = [
+    "baba", "bibaba AND nibaba", "bibaba OR nibaba", "bib*",
+    '"baba baba"', "lang:en AND bibaba", "baba AND NOT nibaba",
+    "nibaba", "nibaba AND baba AND bibaba", "rasase",
+]
+
+
+def _materialize_corpus(n_docs: int) -> str:
+    """Deterministic pages corpus cached under .bench/ (seed=42)."""
+    from hayoo_spark import fixtures
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    path = os.path.join(root, f"pages_{n_docs}")
+    out = os.path.join(path, "pages.parquet")
+    if not os.path.exists(out):
+        os.makedirs(path, exist_ok=True)
+        fixtures.make_pages(n_docs).to_parquet(out, index=False)
+    return out
+
+
+def build_once(pages_path: str, cores: int, index_dir: str) -> dict:
+    """Subprocess payload: build the index, print metrics JSON."""
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-build-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so the timed section measures the pipeline, not
+    # first-job initialization (matters at small corpus sizes)
+    spark.read.parquet(pages_path).limit(100).groupBy("lang").count().collect()
+    t0 = time.monotonic()
+    build_index(spark, pages_path, index_dir, n_segments=max(8, cores),
+                salt_df_threshold=4096, n_salts=8)
+    elapsed = time.monotonic() - t0
+    m = spark.read.parquet(os.path.join(index_dir, "manifest")) \
+        .groupBy().sum("docs", "postings").collect()[0]
+    return {"cores": cores, "build_sec": round(elapsed, 2),
+            "docs": int(m[0]), "postings": int(m[1]),
+            "docs_per_sec": round(m[0] / elapsed, 1),
+            "postings_per_sec": round(m[1] / elapsed, 1)}
+
+
+def _scaling_subprocess(pages_path: str, cores: int) -> dict:
+    code = (
+        "import sys, json, tempfile; sys.path.insert(0, %r)\n"
+        "from bench import build_once\n"
+        "d = tempfile.mkdtemp()\n"
+        "print('BENCHJSON ' + json.dumps(build_once(%r, %d, d + '/ix')))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), pages_path, cores)
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"scaling run (cores={cores}) produced no metrics:\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from hayoo_spark.query.engine import SearchEngine
+    from hayoo_spark.session import get_spark
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark(app_name="hayoo-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_total = time.monotonic()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()  # warm session
+    queries: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).toPandas()  # full materialization
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    # --- index engine: build + query latency ---
+    pages_path = _materialize_corpus(BENCH_DOCS)
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.monotonic()
+        bi = build_once(pages_path, CPUS, os.path.join(tmp, "ix"))
+        queries["index_build"] = round(time.monotonic() - t0, 3)
+        eng = SearchEngine(spark, os.path.join(tmp, "ix"))
+        eng.search("baba", k=10)  # warm
+        lats = []
+        for q in ENGINE_QUERIES:
+            t0 = time.monotonic()
+            eng.search(q, k=20)
+            lats.append(time.monotonic() - t0)
+        lats.sort()
+        index_metrics = {
+            **bi,
+            "query_p50_ms": round(1000 * lats[len(lats) // 2], 1),
+            "query_p99_ms": round(1000 * lats[-1], 1),
+        }
+        queries["engine_queries"] = round(sum(lats), 3)
+
+    scaling = None
+    if DO_SCALING:
+        lo_cores = max(2, CPUS // 4)
+        lo = _scaling_subprocess(pages_path, lo_cores)
+        hi = _scaling_subprocess(pages_path, CPUS)
+        speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+        ratio = CPUS / lo_cores
+        scaling = {
+            "cores_lo": lo_cores, "cores_hi": CPUS,
+            "docs_per_sec_lo": lo["docs_per_sec"],
+            "docs_per_sec_hi": hi["docs_per_sec"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / ratio, 3),
+        }
+
+    total = round(time.monotonic() - t_total, 2)
+    print(json.dumps({
+        "metric": "bench_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "index": index_metrics,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,30 +106,59 @@ def prepare_docs(pages: DataFrame, n_segments: int) -> DataFrame:
 
 
 def _encode_factory(avgdl: float, block_size: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
+    """Bucket-level encoder: one Arrow group = MANY (term, salt) posting
+    lists.  The token stream arrives as raw occurrence rows
+    (term, salt, doc_id, dl, pos); tf aggregation, position lists, and
+    varbyte encoding all happen with numpy slicing inside the UDF — no
+    second Spark shuffle and no per-term Arrow-group overhead (which
+    dominates wall-clock: ~32k one-row groups vs ~n_segments×buckets)."""
+
+    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "salt", "doc_id", "pos"], kind="mergesort")
+        seg = int(pdf["segment"].iloc[0])
+        terms = pdf["term"].to_numpy(object)
+        salts = pdf["salt"].to_numpy(np.int64)
+        docs = pdf["doc_id"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        ids_vb = codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64)))
-        tfs_vb = codec.varbyte_encode(tfs.astype(np.uint64))
-        pos_vb = codec.encode_positions(
-            [np.asarray(p, dtype=np.uint64) for p in pdf["positions"]])
-        last, ub = codec.block_maxes(ids, tfs, dls, avgdl, block_size)
-        return pd.DataFrame({
-            "segment": [int(pdf["segment"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "df": [len(ids)],
-            "cf": [int(tfs.sum())],
-            "ids_vb": [ids_vb],
-            "tfs_vb": [tfs_vb],
-            "pos_vb": [pos_vb],
-            "block_last": [last.tolist()],
-            "block_ub": [ub.tolist()],
-            "max_ub": [float(ub.max()) if len(ub) else 0.0],
-        })
-    return encode_group
+        poss = pdf["pos"].to_numpy(np.int64)
+        n = len(pdf)
+        # (term, salt) group boundaries
+        key_change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        g_starts = np.concatenate(([0], key_change))
+        g_ends = np.concatenate((key_change, [n]))
+        out = {k: [] for k in ("segment", "term", "salt", "df", "cf", "ids_vb",
+                               "tfs_vb", "pos_vb", "block_last", "block_ub",
+                               "max_ub")}
+        for s, e in zip(g_starts, g_ends):
+            d = docs[s:e]
+            # doc boundaries within the (sorted) group
+            dc = np.flatnonzero(d[1:] != d[:-1]) + 1
+            starts = np.concatenate(([0], dc))
+            ends = np.concatenate((dc, [e - s]))
+            ids = d[starts]
+            tfs = (ends - starts).astype(np.int64)
+            doc_dls = dls[s:e][starts]
+            p = poss[s:e]
+            pos_parts = [codec.delta_encode(p[a:b].astype(np.uint64))
+                         for a, b in zip(starts, ends)]
+            last, ub = codec.block_maxes(ids, tfs, doc_dls, avgdl, block_size)
+            out["segment"].append(seg)
+            out["term"].append(terms[s])
+            out["salt"].append(int(salts[s]))
+            out["df"].append(len(ids))
+            out["cf"].append(int(tfs.sum()))
+            out["ids_vb"].append(
+                codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64))))
+            out["tfs_vb"].append(codec.varbyte_encode(tfs.astype(np.uint64)))
+            out["pos_vb"].append(
+                codec.varbyte_encode(np.concatenate(pos_parts)))
+            out["block_last"].append(last.tolist())
+            out["block_ub"].append(ub.tolist())
+            out["max_ub"].append(float(ub.max()) if len(ub) else 0.0)
+        return pd.DataFrame(out)
+
+    return encode_bucket
 
 
 def build_index(
@@ -156,7 +185,12 @@ def build_index(
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
     pages = spark.read.parquet(pages_path)
-    docs = prepare_docs(extract_text(pages), n_segments)
+    # tokenized docs feed the stats pass AND every segment batch:
+    # persist to avoid re-extracting/re-tokenizing the corpus per pass
+    # (disk-backed — token arrays exceed executor memory at scale)
+    from pyspark import StorageLevel
+    docs = prepare_docs(extract_text(pages), n_segments) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     stats_path = os.path.join(index_dir, "stats")
     if resume and os.path.exists(stats_path):
@@ -182,7 +216,8 @@ def build_index(
 
     pending = [s for s in range(n_segments) if s not in done]
     batch_size = segments_per_batch or max(1, len(pending))
-    metrics = {"segments_built": 0, "docs": 0, "postings": 0}
+    metrics = {"segments_built": 0, "n_docs": int(n_docs),
+               "avgdl": round(float(avgdl), 3)}
 
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
@@ -190,16 +225,19 @@ def build_index(
         seg_docs = docs.filter(F.col("segment").isin(batch))
         _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
                         salt_df_threshold, n_salts)
-        _commit_manifest(spark, index_dir, batch, time.monotonic() - t0)
+        _commit_manifest(spark, index_dir, batch, time.monotonic() - t0, avgdl)
         metrics["segments_built"] += len(batch)
 
+    docs.unpersist()
     finalize(spark, index_dir)
     return metrics
 
 
+N_BUCKETS = 32  # encode-groups per segment; bounds Arrow group size
+
+
 def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
                     salt_df_threshold, n_salts):
-    seg_docs = seg_docs.persist()
     (seg_docs
      .select("segment", "doc_id", "url", "warc_ts", "lang", "dl")
      .repartition("segment")
@@ -207,41 +245,48 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "docs")))
 
-    tf = (
-        seg_docs
-        .select("segment", "doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
-        .groupBy("segment", "term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"),
-             F.sort_array(F.collect_list("pos")).alias("positions"))
-    )
+    # ONE shuffle for the whole posting build: the raw token stream
+    # (term, doc, dl, pos occurrence rows) goes straight to its encode
+    # bucket; tf/positions aggregation happens numpy-side in the UDF.
+    tok = seg_docs.select(
+        "segment", "doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
 
-    # explicit Zipf-skew salting: heavy (segment, term) groups split by
-    # doc hash so no grouped-map partition exceeds ~salt_df_threshold rows
-    seg_df = tf.groupBy("segment", "term").agg(F.count("*").alias("seg_df"))
-    heavy = seg_df.filter(F.col("seg_df") > salt_df_threshold).select("segment", "term")
-    tf = (
-        tf.join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
-                ["segment", "term"], "left")
+    # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
+    # split by doc id so no encode group is unbounded.  The heavy-term
+    # scan is a partially-aggregated count (map-side combine), far
+    # cheaper than the posting shuffle itself.
+    seg_cf = tok.groupBy("segment", "term").agg(F.count("*").alias("seg_cf"))
+    heavy = seg_cf.filter(F.col("seg_cf") > salt_df_threshold) \
+        .select("segment", "term")
+    tok = (
+        tok.join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
+                 ["segment", "term"], "left")
         .withColumn(
             "salt",
             F.when(F.col("is_heavy").isNotNull(),
                    F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
             .otherwise(F.lit(0)))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("term") + F.col("salt"),
+                           F.lit(N_BUCKETS)).cast("int"))
         .drop("is_heavy")
     )
 
-    encoded = tf.groupBy("segment", "term", "salt").applyInPandas(
+    encoded = tok.groupBy("segment", "bucket").applyInPandas(
         _encode_factory(avgdl, block_size), POSTINGS_SCHEMA)
     (encoded
      .repartition("segment")
      .sortWithinPartitions("term", "salt")
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "postings")))
-    seg_docs.unpersist()
 
 
-def _commit_manifest(spark, index_dir, batch, elapsed):
-    """Per-partition checkpoint lineage + metrics (FIXTURES.md §4)."""
+def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl):
+    """Per-partition checkpoint lineage + metrics (FIXTURES.md §4).
+
+    ``enc_avgdl`` records the global avgdl the segment's block bounds
+    were encoded under — incremental updates shift corpus stats, and the
+    query engine uses this to scale stale bounds safely (update.py)."""
     post = spark.read.parquet(os.path.join(index_dir, "postings")) \
         .filter(F.col("segment").isin(batch))
     docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
@@ -269,12 +314,13 @@ def _commit_manifest(spark, index_dir, batch, elapsed):
             ndocs / per_seg if per_seg else 0.0,
             nposts / per_seg if per_seg else 0.0,
             float(p["skew_ratio"]) if p and p["skew_ratio"] else 1.0,
+            float(enc_avgdl),
         ))
     (spark.createDataFrame(
         out,
         "segment_id string, partition_id int, input_fingerprint string, "
         "docs long, postings long, docs_per_sec double, "
-        "postings_per_sec double, skew_ratio double")
+        "postings_per_sec double, skew_ratio double, enc_avgdl double")
      .withColumn("commit_ts", F.current_timestamp())
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(index_dir, "manifest")))
@@ -285,9 +331,10 @@ def finalize(spark: SparkSession, index_dir: str) -> None:
     analogous to the reference's final index merge
     (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union)."""
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
     (post.groupBy("term")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-     .repartitionByRange(max(1, post.rdd.getNumPartitions() // 4), "term")
+     .repartitionByRange(n_parts, "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, "terms")))

@@ -1,0 +1,143 @@
+"""Incremental index maintenance: delete-before-insert at segment
+granularity, plus a Structured-Streaming ingest wrapper.
+
+Reference semantics: the indexers emit ``delete-by-query (package ∈
+pkgs)`` followed by fresh inserts per package batch
+(newHayooIndexer/src/FctIndexerCore.hs:95-105, gen-1
+hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:167-188), selecting
+packages newer than an age cutoff (HayooIndexer.hs:206-222).  Here the
+unit of replacement is the *document segment* (hash(url) partition):
+
+1. select changed pages (``warc_ts > since_ts``, or an explicit url set);
+2. affected segments = distinct hash(url) mod n_segments;
+3. drop those segments' docs/postings files + manifest rows
+   (the delete-by-query);
+4. re-run the builder in resume mode — only the dropped segments are
+   pending — against the *updated* pages table (the insert);
+5. refresh global stats + term dictionary (finalize).
+
+Correctness under drifted stats: rebuilt segments encode block bounds
+under the NEW avgdl; untouched segments keep bounds under their OLD
+avgdl (recorded per segment in the manifest as ``enc_avgdl``).  The
+query engine scales bounds by ``max(1, avgdl_now / min(enc_avgdl))``,
+which keeps block-max pruning admissible (see query/engine.py); exact
+scoring always uses current stats, so results stay rank-identical to a
+full rebuild (tested in tests/test_update.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import build_index
+
+
+def _infer_n_segments(index_dir: str) -> int:
+    segs = glob.glob(os.path.join(index_dir, "docs", "segment=*"))
+    return max(int(os.path.basename(s).split("=")[1]) for s in segs) + 1
+
+
+def affected_segments(spark: SparkSession, changed_urls: DataFrame,
+                      n_segments: int) -> list[int]:
+    rows = (
+        changed_urls
+        .select(F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int").alias("segment"))
+        .distinct().collect()
+    )
+    return sorted(r["segment"] for r in rows)
+
+
+def update_index(
+    spark: SparkSession,
+    pages_path: str,
+    index_dir: str,
+    since_ts: str | None = None,
+    changed_urls: DataFrame | None = None,
+    **build_kwargs,
+) -> dict:
+    """Apply an incremental update.  ``pages_path`` must point at the
+    CURRENT full pages table (the updated source of truth); only the
+    segments owning changed urls are rebuilt."""
+    n_segments = _infer_n_segments(index_dir)
+    pages = spark.read.parquet(pages_path)
+    if changed_urls is None:
+        if since_ts is None:
+            raise ValueError("need since_ts or changed_urls")
+        changed_urls = pages.filter(F.col("warc_ts") > F.lit(since_ts)).select("url")
+    segs = affected_segments(spark, changed_urls, n_segments)
+    if not segs:
+        return {"segments_rebuilt": 0}
+
+    # delete-by-segment: drop data files + manifest rows
+    for s in segs:
+        for sub in ("docs", "postings"):
+            shutil.rmtree(os.path.join(index_dir, sub, f"segment={s}"),
+                          ignore_errors=True)
+    man_path = os.path.join(index_dir, "manifest")
+    man = spark.read.parquet(man_path).filter(~F.col("partition_id").isin(segs))
+    kept = man.toPandas()
+    shutil.rmtree(man_path, ignore_errors=True)
+    if len(kept):
+        spark.createDataFrame(kept).coalesce(1).write.mode("overwrite").parquet(man_path)
+    else:
+        os.makedirs(man_path, exist_ok=True)
+
+    # refresh global stats BEFORE re-encode so new segments use current
+    # corpus-wide avgdl (stats pass inside build_index, resume=False for
+    # stats is forced by deleting the stats dir)
+    shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
+
+    build_index(spark, pages_path, index_dir, n_segments=n_segments,
+                resume=True, **build_kwargs)
+    return {"segments_rebuilt": len(segs)}
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    stream_dir: str,
+    pages_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    **build_kwargs,
+):
+    """Structured-Streaming wrapper: watch a directory of page-batch
+    parquet drops; each micro-batch appends to the pages table and
+    applies update_index for the batch's urls.
+
+    The reference has no true streaming (SURVEY.md §2.7) — its
+    incremental mode is batch micro-update; this maps that behavior to
+    ``readStream -> foreachBatch`` with availableNow semantics so tests
+    can drain deterministically."""
+    schema = spark.read.parquet(pages_path).schema
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        # upsert the pages table: delete-then-insert per url — a blind
+        # append would lose to the builder's first-wins dedup (an
+        # Iceberg MERGE INTO at scale; dir swap on plain parquet here)
+        cur = spark.read.parquet(pages_path)
+        upd = cur.join(batch_df.select("url"), "url", "left_anti") \
+            .unionByName(batch_df)
+        tmp = pages_path.rstrip("/") + ".tmp"
+        upd.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(pages_path):
+            shutil.rmtree(pages_path)
+        else:
+            os.remove(pages_path)
+        os.rename(tmp, pages_path)
+        update_index(spark, pages_path, index_dir,
+                     changed_urls=batch_df.select("url"), **build_kwargs)
+
+    return (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

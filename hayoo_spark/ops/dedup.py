@@ -232,9 +232,14 @@ def embedding_neardup_pairs(emb: DataFrame, key: str = "vec_id",
                             vec: str = "embedding",
                             threshold: float = 0.95) -> DataFrame:
     """Exact pairwise cosine >= threshold (a < b).  All-pairs — the
-    oracle/verify path; scale path = ops.similarity.lsh_buckets."""
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = emb.select(F.col(key), F.col(vec).alias("v"), norm.alias("nrm"))
+    oracle/verify path; scale path = ops.similarity.lsh_buckets.
+
+    Vectors are cast to array<double> BEFORE any arithmetic: float32
+    partial products diverge from a double oracle by ~1e-7, enough to
+    flip 1e-4-rounded comparisons."""
+    dvec = F.col(vec).cast("array<double>")
+    norm = F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(F.col(key), dvec.alias("v"), norm.alias("nrm"))
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)

@@ -32,11 +32,12 @@ def cosine_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     """Exact cosine top-k, fully declarative (ORDER BY ... LIMIT k ->
     TakeOrderedAndProject, no full sort).  Ties broken by key."""
     qn = float(np.sqrt(np.dot(qvec, qvec)))
-    norm = F.sqrt(F.aggregate(F.col(vec), F.lit(0.0), lambda a, x: a + x * x))
+    dvec = F.col(vec).cast("array<double>")  # double before arithmetic
+    norm = F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x))
     return (
         emb.select(
             F.col(key),
-            (_dot_lit(F.col(vec), qvec) / (norm * qn)).alias("cos"),
+            (_dot_lit(dvec, qvec) / (norm * qn)).alias("cos"),
         )
         .withColumn("cos_x1e6", F.round(F.col("cos") * 1e6).cast("bigint"))
         .orderBy(F.col("cos").desc(), F.col(key))
@@ -52,9 +53,10 @@ def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
 def lsh_bucket_expr(vec_col, planes: np.ndarray):
     """Signed-projection bucket id as a JVM-side expression chain."""
     bits = []
+    dvec = vec_col.cast("array<double>")
     for i, p in enumerate(planes):
         proj = F.aggregate(
-            F.zip_with(vec_col, F.array([F.lit(float(x)) for x in p]),
+            F.zip_with(dvec, F.array([F.lit(float(x)) for x in p]),
                        lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))

@@ -109,9 +109,11 @@ def fingerprint(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
 
 def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
     """(key, term, pos) with positions assigned AFTER the min-length
-    filter, matching tokens_col + posexplode exactly."""
+    filter, matching tokens_col + posexplode exactly.  Uses paired
+    unnest + generate_subscripts (DuckDB lacks WITH ORDINALITY)."""
     return (
-        f"SELECT {key}, t.term, CAST(t.pos - 1 AS BIGINT) AS pos FROM {table}, "
-        f"UNNEST(list_filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'), "
-        f"x -> length(x) >= {MIN_TOKEN_LEN})) WITH ORDINALITY AS t(term, pos)"
+        f"SELECT {key}, unnest(f) AS term, "
+        f"CAST(generate_subscripts(f, 1) - 1 AS BIGINT) AS pos FROM ("
+        f"SELECT {key}, list_filter(regexp_extract_all(lower({text_col}), "
+        f"'{TOKEN_RE}'), x -> length(x) >= {MIN_TOKEN_LEN}) AS f FROM {table})"
     )

@@ -1,25 +1,30 @@
-"""SearchEngine facade: AST -> distributed segment scan -> global top-k.
+"""SearchEngine facade: AST -> segment scans -> global top-k.
 
-Query lifecycle (SURVEY.md §3.1 Spark equivalent):
+Two execution modes over the same index layout and the same
+SegmentEvaluator (results are identical; tested):
 
-1. parse query string -> AST (shared with the oracle);
-2. driver-side planning: expand prefixes against the global term
-   dictionary (deterministic cap MAX_EXPANSIONS by df desc, term asc —
-   never silent), fetch global df for every needed term (predicate
-   pushdown on the terms parquet -> a few rows), build the idf map;
-3. read postings pruned to the needed terms (parquet pushdown on the
-   `term` column; segment partition dirs give scan parallelism);
-4. one Arrow grouped-map task per segment evaluates document-at-a-time
-   with block-max pruning (query/wand.py) and emits its local top-m
-   (m = offset + k) — the per-segment heap of SURVEY.md §2.5 Q10;
-5. global merge: ORDER BY score DESC, url ASC LIMIT m — a tiny
-   TakeOrderedAndProject over (n_segments × m) rows;
-6. offset slice on the driver (paging: offset = page·k,
-   hayoo-server/src/Hayoo/App.hs:96-98).
+- ``spark``: one Arrow grouped-map task per segment — postings read is
+  partition-pruned (parquet pushdown on ``term``), each task emits its
+  local top-m, Spark merges (TakeOrderedAndProject).  The mode for a
+  1000-executor cluster where segments outnumber driver memory.
+- ``local``: the serving-tier path — the driver reads only the needed
+  terms' posting rows per segment via pyarrow (row-group pruning works
+  because postings are sorted by term within each segment file) and
+  evaluates in-process.  Single-digit-ms latency, no job-scheduling
+  overhead; the shape a dedicated query node would use against the
+  same Iceberg/parquet segment files.
+
+Query lifecycle per SURVEY.md §3.1: parse -> prefix expansion against
+the term dictionary (deterministic cap MAX_EXPANSIONS by df desc, term
+asc) -> idf map from global stats -> per-segment DAAT with block-max
+pruning -> global merge -> offset/limit paging
+(hayoo-server/src/Hayoo/App.hs:96-98).
 """
 
 from __future__ import annotations
 
+import bisect
+import glob
 import math
 import os
 
@@ -31,31 +36,66 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from . import plan as P
 from .parser import parse
-from .wand import SegmentData, SegmentEvaluator, _flat_terms
+from .wand import SegmentData, SegmentEvaluator, _flat_terms, load_segment_docs
 
 RESULT_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("score", DoubleType()),
 ])
 
+# load the term dictionary driver-side below this many bytes of parquet;
+# larger dictionaries stay distributed (web-scale: billions of terms)
+DICT_CACHE_BYTES = 256 * 1024 * 1024
+
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 mode: str = "local"):
         self.spark = spark
         self.index_dir = index_dir
+        self.mode = mode
         row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.n_docs = row["n_docs"]
         self.avgdl = float(row["avgdl"])
-        self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        # incremental updates shift avgdl after some segments were encoded;
+        # stored block bounds scale by at most avgdl_now/avgdl_enc, so this
+        # factor keeps block-max pruning admissible (index/update.py)
+        man = spark.read.parquet(os.path.join(index_dir, "manifest"))
+        min_enc = man.agg(F.min("enc_avgdl")).collect()[0][0] or self.avgdl
+        self.ub_scale = max(1.0, self.avgdl / float(min_enc))
+
+        self._terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self._dict: tuple[list[str], np.ndarray] | None = None
+        size = sum(os.path.getsize(p) for p in glob.glob(
+            os.path.join(index_dir, "terms", "*.parquet")))
+        if size <= DICT_CACHE_BYTES:
+            import pyarrow.parquet as pq
+            t = pq.read_table(os.path.join(index_dir, "terms"),
+                              columns=["term", "df"]).to_pandas()
+            t = t.sort_values("term", kind="mergesort")
+            self._dict = (t["term"].tolist(), t["df"].to_numpy(np.int64))
+        self._segments = sorted(
+            int(os.path.basename(p).split("=")[1]) for p in
+            glob.glob(os.path.join(index_dir, "postings", "segment=*")))
 
     # ---------------- planning helpers ----------------
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    def _dict_prefix_range(self, prefix: str) -> list[tuple[str, int]]:
+        terms, dfs = self._dict
+        lo = bisect.bisect_left(terms, prefix)
+        hi = bisect.bisect_left(terms, prefix + "￿")
+        return [(terms[i], int(dfs[i])) for i in range(lo, hi)]
+
     def expand_prefix(self, prefix: str) -> list[str]:
+        if self._dict is not None:
+            cands = self._dict_prefix_range(prefix)
+            cands.sort(key=lambda kv: (-kv[1], kv[0]))
+            return [t for t, _ in cands[: P.MAX_EXPANSIONS]]
         rows = (
-            self._terms
+            self._terms_df
             .filter(F.col("term").startswith(prefix))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(P.MAX_EXPANSIONS)
@@ -79,46 +119,54 @@ class SearchEngine:
     def _idf_map(self, terms: set[str]) -> dict[str, float]:
         if not terms:
             return {}
-        rows = self._terms.filter(F.col("term").isin(list(terms))).collect()
+        if self._dict is not None:
+            tl, dfs = self._dict
+            out = {}
+            for t in terms:
+                i = bisect.bisect_left(tl, t)
+                df = int(dfs[i]) if i < len(tl) and tl[i] == t else 0
+                out[t] = self.idf(df)
+            return out
+        rows = self._terms_df.filter(F.col("term").isin(list(terms))).collect()
         dfs = {r["term"]: r["df"] for r in rows}
         return {t: self.idf(dfs.get(t, 0)) for t in terms}
 
     # ---------------- search ----------------
 
-    def search(self, query: str, k: int = P.PAGE_SIZE, page: int = 0
-               ) -> list[tuple[str, float]]:
+    def search(self, query: str, k: int = P.PAGE_SIZE, page: int = 0,
+               mode: str | None = None) -> list[tuple[str, float]]:
         ast = self._rewrite_prefixes(parse(query))
         needed = P.scoring_terms(ast)
         m = (page + 1) * k
         if not needed:
             return self._filter_only(ast, m)[page * k :]
+        if (mode or self.mode) == "local":
+            rows = self._search_local(ast, needed, m)
+        else:
+            rows = self._search_spark(ast, needed, m)
+        return rows[page * k :]
 
+    def _search_spark(self, ast, needed, m):
         post = (
             self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
             .filter(F.col("term").isin(list(needed)))
         )
         idf_map = self._idf_map(needed)
-        avgdl = self.avgdl
+        avgdl, ub_scale = self.avgdl, self.ub_scale
         docs_root = os.path.join(self.index_dir, "docs")
         flat = _flat_terms(ast)
 
         def eval_segment(key, pdf):
-            import pyarrow.parquet as pq
-
             seg = int(key[0])
-            docs_pdf = pq.read_table(
-                os.path.join(docs_root, f"segment={seg}"),
-                columns=["doc_id", "url", "lang", "warc_ts", "dl"],
-            ).to_pandas()
+            docs_pdf = load_segment_docs(docs_root, seg)
             sd = SegmentData(pdf, docs_pdf)
-            ev = SegmentEvaluator(sd, idf_map, avgdl)
+            ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
             else:
                 ids, sc = ev.evaluate(ast)
-                if len(ids) > m:
-                    order = np.lexsort((sd.urls[ids], -sc))[:m]
-                    ids, sc = ids[order], sc[order]
+                order = np.lexsort((sd.urls[ids], -sc))[:m]
+                ids, sc = ids[order], sc[order]
             return pd.DataFrame({"url": sd.urls[ids], "score": sc})
 
         top = (
@@ -128,7 +176,41 @@ class SearchEngine:
             .limit(m)
             .collect()
         )
-        return [(r["url"], r["score"]) for r in top][page * k :]
+        return [(r["url"], r["score"]) for r in top]
+
+    def _search_local(self, ast, needed, m):
+        """Serving-tier path: pyarrow segment reads on the driver."""
+        import pyarrow.parquet as pq
+
+        idf_map = self._idf_map(needed)
+        flat = _flat_terms(ast)
+        docs_root = os.path.join(self.index_dir, "docs")
+        terms_list = list(needed)
+        out_urls: list = []
+        out_scores: list = []
+        for seg in self._segments:
+            ppath = os.path.join(self.index_dir, "postings", f"segment={seg}")
+            pdf = pq.read_table(
+                ppath, filters=[("term", "in", terms_list)]).to_pandas()
+            if pdf.empty and flat is not None:
+                continue
+            docs_pdf = load_segment_docs(docs_root, seg)
+            sd = SegmentData(pdf, docs_pdf)
+            ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale)
+            if flat is not None:
+                ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
+            else:
+                ids, sc = ev.evaluate(ast)
+                order = np.lexsort((sd.urls[ids], -sc))[:m]
+                ids, sc = ids[order], sc[order]
+            out_urls.extend(sd.urls[ids])
+            out_scores.extend(sc)
+        if not out_urls:
+            return []
+        urls = np.asarray(out_urls, dtype=object)
+        scores = np.asarray(out_scores, dtype=np.float64)
+        order = np.lexsort((urls, -scores))[:m]
+        return [(urls[i], float(scores[i])) for i in order]
 
     def _filter_only(self, ast: P.Node, m: int) -> list[tuple[str, float]]:
         """Queries with no scoring leaves (pure lang:/url:/range filters):
@@ -161,8 +243,12 @@ class SearchEngine:
     def autocomplete(self, prefix: str, n: int = 20) -> list[tuple[str, int]]:
         """Completion over the term dictionary, df-desc
         (reference: hayoo-server/src/Hayoo/App.hs:101-111)."""
+        if self._dict is not None:
+            cands = self._dict_prefix_range(prefix)
+            cands.sort(key=lambda kv: (-kv[1], kv[0]))
+            return cands[:n]
         rows = (
-            self._terms.filter(F.col("term").startswith(prefix))
+            self._terms_df.filter(F.col("term").startswith(prefix))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(n)
             .collect()

@@ -29,6 +29,28 @@ from ..index import codec
 from . import plan as P
 
 
+_DOCS_CACHE: dict[str, pd.DataFrame] = {}
+_DOCS_CACHE_MAX = 8
+
+
+def load_segment_docs(docs_root: str, segment: int) -> pd.DataFrame:
+    """Read one segment's doc table (norms + metadata) via pyarrow,
+    cached per process — python workers are reused across queries, so
+    repeated searches skip the parquet read."""
+    import pyarrow.parquet as pq
+
+    key = f"{docs_root}/segment={segment}"
+    hit = _DOCS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pdf = pq.read_table(
+        key, columns=["doc_id", "url", "lang", "warc_ts", "dl"]).to_pandas()
+    if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
+        _DOCS_CACHE.pop(next(iter(_DOCS_CACHE)))
+    _DOCS_CACHE[key] = pdf
+    return pdf
+
+
 class SegmentData:
     """Decoded view of one segment: postings per term + doc metadata."""
 
@@ -115,11 +137,15 @@ def _flat_terms(node: P.Node):
 
 
 class SegmentEvaluator:
-    def __init__(self, seg: SegmentData, idf: dict[str, float], avgdl: float):
+    def __init__(self, seg: SegmentData, idf: dict[str, float], avgdl: float,
+                 ub_scale: float = 1.0):
         self.seg = seg
         self.idf = idf
         seg._avgdl = avgdl
         self.avgdl = avgdl
+        # admissibility factor for stored block bounds when corpus stats
+        # moved since encode (incremental updates); 1.0 for fresh builds
+        self.ub_scale = ub_scale
 
     # ---------- generic exhaustive evaluation (full query surface) ----------
 
@@ -248,7 +274,7 @@ class SegmentEvaluator:
             idf = self.idf.get(t, 0.0)
             cover = np.searchsorted(blast, bounds, side="left")
             valid = cover < len(blast)
-            iv_ub[valid] += boost * idf * bub[cover[valid]]
+            iv_ub[valid] += boost * idf * self.ub_scale * bub[cover[valid]]
         order = np.argsort(-iv_ub, kind="stable")
 
         top_ids: list[np.ndarray] = []

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""spark-submit entry: run queries against a built index.
+
+    spark-submit --py-files hayoo_spark.zip scripts/query.py \
+        --index /data/index --mode spark -q "fast AND join" -k 20
+
+Reads queries from -q flags or stdin (one per line); prints one JSON
+line per query with the top-k (url, score) pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# direct `python scripts/...` runs: make the repo root importable
+# (spark-submit --py-files hayoo_spark.zip provides it on a cluster)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--mode", choices=["local", "spark"], default="local")
+    ap.add_argument("-q", "--query", action="append", default=[])
+    ap.add_argument("-k", type=int, default=20)
+    ap.add_argument("--page", type=int, default=0)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from hayoo_spark.session import get_spark
+        spark = get_spark(app_name="hayoo-query", cores=args.cores)
+
+    from hayoo_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, args.index, mode=args.mode)
+    queries = args.query or [ln.strip() for ln in sys.stdin if ln.strip()]
+    for q in queries:
+        hits = eng.search(q, k=args.k, page=args.page)
+        print(json.dumps({"query": q,
+                          "hits": [{"url": u, "score": s} for u, s in hits]}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

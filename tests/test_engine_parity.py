@@ -10,19 +10,28 @@ from tests.conftest import N_DOCS
 QUERIES = fixtures.make_queries(N_DOCS)
 
 
-def _check(engine, oracle_ix, query, k, page):
-    got = engine.search(query, k=k, page=page)
+def _check(engine, oracle_ix, query, k, page, mode):
+    got = engine.search(query, k=k, page=page, mode=mode)
     want = oracle.search(oracle_ix, query, k=k, page=page)
     assert [u for u, _ in got] == [u for u, _ in want], (
-        f"rank mismatch for {query!r}:\n got={got[:5]}\nwant={want[:5]}")
+        f"rank mismatch for {query!r} [{mode}]:\n got={got[:5]}\nwant={want[:5]}")
     for (gu, gs), (wu, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-6, f"score mismatch {query!r} {gu}: {gs} vs {ws}"
 
 
 @pytest.mark.parametrize(
     "q", QUERIES, ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERIES])
-def test_reference_query_set(engine, oracle_ix, q):
-    _check(engine, oracle_ix, q["query"], q["k"], q["page"])
+def test_reference_query_set_local(engine, oracle_ix, q):
+    """Serving-tier (pyarrow) mode: full reference set, rank-identical."""
+    _check(engine, oracle_ix, q["query"], q["k"], q["page"], "local")
+
+
+@pytest.mark.parametrize(
+    "q", QUERIES[::4], ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERIES[::4]])
+def test_reference_query_set_spark(engine, oracle_ix, q):
+    """Distributed (grouped-map) mode: same evaluator, Spark merge —
+    sampled every 4th query to bound suite time."""
+    _check(engine, oracle_ix, q["query"], q["k"], q["page"], "spark")
 
 
 def test_autocomplete_parity(engine, oracle_ix):
