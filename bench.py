@@ -58,8 +58,12 @@ def _materialize_corpus(n_docs: int) -> str:
     return out
 
 
-def build_once(pages_path: str, cores: int, index_dir: str) -> dict:
-    """Subprocess payload: build the index, print metrics JSON."""
+def build_once(pages_path: str, cores: int, index_dir: str,
+               n_segments: int = 32) -> dict:
+    """Subprocess payload: build the index, print metrics JSON.
+
+    n_segments is FIXED across core counts so scaling runs compare the
+    same physical work (segment count changes file/window layout)."""
     from hayoo_spark.index.builder import build_index
     from hayoo_spark.session import get_spark
 
@@ -70,15 +74,16 @@ def build_once(pages_path: str, cores: int, index_dir: str) -> dict:
     # first-job initialization (matters at small corpus sizes)
     spark.read.parquet(pages_path).limit(100).groupBy("lang").count().collect()
     t0 = time.monotonic()
-    build_index(spark, pages_path, index_dir, n_segments=max(8, cores),
-                salt_df_threshold=4096, n_salts=8)
+    bm = build_index(spark, pages_path, index_dir, n_segments=n_segments,
+                     salt_df_threshold=4096, n_salts=8)
     elapsed = time.monotonic() - t0
     m = spark.read.parquet(os.path.join(index_dir, "manifest")) \
         .groupBy().sum("docs", "postings").collect()[0]
     return {"cores": cores, "build_sec": round(elapsed, 2),
             "docs": int(m[0]), "postings": int(m[1]),
             "docs_per_sec": round(m[0] / elapsed, 1),
-            "postings_per_sec": round(m[1] / elapsed, 1)}
+            "postings_per_sec": round(m[1] / elapsed, 1),
+            "phases": bm.get("phases", {})}
 
 
 def _scaling_subprocess(pages_path: str, cores: int) -> dict:

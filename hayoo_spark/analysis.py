@@ -41,6 +41,19 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _BODY_RE = re.compile(r"<body[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
 
 
+def extract_text_col(html: Column | str) -> Column:
+    """JVM-side HTML->text extraction (whole-stage codegen, no Arrow
+    round-trip): body element (fallback whole doc), tags stripped,
+    whitespace collapsed.  Byte-identical to extract_text_py — verified
+    by the engine-vs-oracle parity suite, which extracts from html."""
+    col = F.col(html) if isinstance(html, str) else html
+    doc = col.cast("string")
+    body = F.regexp_extract(doc, r"(?is)<body[^>]*>(.*?)</body>", 1)
+    chosen = F.when(doc.rlike(r"(?is)<body[^>]*>.*?</body>"), body).otherwise(doc)
+    stripped = F.regexp_replace(chosen, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def tokens_col(text: Column | str) -> Column:
     """Spark Column of tokens (array<string>) for a text column.
 

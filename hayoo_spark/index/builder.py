@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     StringType, StructField, StructType,
 )
 
-from ..analysis import extract_text_series, tokens_col
+from ..analysis import extract_text_col, extract_text_series, tokens_col
 from . import codec
 
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
@@ -72,9 +72,18 @@ POSTINGS_SCHEMA = StructType([
 ])
 
 
-def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """Add `text_x` extracted from html via a vectorized pandas UDF
-    (the input_hint hot path: Arrow batches, Series.str ops)."""
+def extract_text(df: DataFrame, html_col: str = "html",
+                 jvm: bool = True) -> DataFrame:
+    """Add `text_x` extracted from html.
+
+    Default path is pure JVM expressions (analysis.extract_text_col) —
+    stays inside whole-stage codegen, no Arrow round-trip.  The pandas
+    UDF path (jvm=False) is the seam where a real HTML parser
+    (selectolax/lxml) would plug in for full web pages; both are
+    byte-identical to the oracle extractor on the fixture corpus."""
+    if jvm:
+        return df.withColumn("text_x", extract_text_col(F.col(html_col)))
+
     @F.pandas_udf(StringType())
     def _extract(h: pd.Series) -> pd.Series:
         return extract_text_series(h)
@@ -82,19 +91,28 @@ def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     return df.withColumn("text_x", _extract(F.col(html_col)))
 
 
-def prepare_docs(pages: DataFrame, n_segments: int) -> DataFrame:
-    """pages -> deduped, segmented, tokenized docs.
+def prepare_docs(pages: DataFrame, n_segments: int,
+                 parallelism: int | None = None) -> DataFrame:
+    """pages -> deduped, segmented, extracted, tokenized docs.
 
-    - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133);
+    - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133):
+      the file-order ordinal is assigned BEFORE any repartition so the
+      winner is deterministic;
+    - the explicit repartition right after spreads extraction across the
+      cluster even when the source is a handful of large files (a single
+      45 MB parquet file is ONE input split — without this the whole
+      extract+tokenize pass runs on one core);
     - segment = xxhash64(url) mod n_segments (document partitioning);
     - doc_id = dense local ordinal, url-ascending within segment
       (deterministic ⇒ resumable builds are bit-equal).
     """
     w_first = Window.partitionBy("url").orderBy("ord")
     w_seg = Window.partitionBy("segment").orderBy("url")
+    df = pages.withColumn("ord", F.monotonically_increasing_id())
+    if parallelism:
+        df = df.repartition(parallelism)
     return (
-        pages
-        .withColumn("ord", F.monotonically_increasing_id())
+        extract_text(df)
         .withColumn("rn", F.row_number().over(w_first))
         .filter(F.col("rn") == 1)
         .drop("rn", "ord")
@@ -189,8 +207,12 @@ def build_index(
     # persist to avoid re-extracting/re-tokenizing the corpus per pass
     # (disk-backed — token arrays exceed executor memory at scale)
     from pyspark import StorageLevel
-    docs = prepare_docs(extract_text(pages), n_segments) \
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = prepare_docs(pages, n_segments, parallelism=par) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+
+    phase_t: dict[str, float] = {}
+    t_phase = time.monotonic()
 
     stats_path = os.path.join(index_dir, "stats")
     if resume and os.path.exists(stats_path):
@@ -208,6 +230,8 @@ def build_index(
             "n_docs long, avgdl double, total_tokens long",
         ).coalesce(1).write.mode("overwrite").parquet(stats_path)
 
+    phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
+
     manifest_path = os.path.join(index_dir, "manifest")
     done: set[int] = set()
     if resume and os.path.exists(manifest_path):
@@ -224,12 +248,19 @@ def build_index(
         t0 = time.monotonic()
         seg_docs = docs.filter(F.col("segment").isin(batch))
         _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
-                        salt_df_threshold, n_salts)
-        _commit_manifest(spark, index_dir, batch, time.monotonic() - t0, avgdl)
+                        salt_df_threshold, n_salts, phase_t)
+        t1 = time.monotonic()
+        _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
+                         seg_docs=seg_docs)
+        phase_t["manifest_sec"] = round(
+            phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
         metrics["segments_built"] += len(batch)
 
     docs.unpersist()
+    t1 = time.monotonic()
     finalize(spark, index_dir)
+    phase_t["finalize_sec"] = round(time.monotonic() - t1, 2)
+    metrics["phases"] = phase_t
     return metrics
 
 
@@ -237,13 +268,19 @@ N_BUCKETS = 32  # encode-groups per segment; bounds Arrow group size
 
 
 def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
-                    salt_df_threshold, n_salts):
+                    salt_df_threshold, n_salts, phase_t=None):
+    if phase_t is None:
+        phase_t = {}
+    t0 = time.monotonic()
     (seg_docs
      .select("segment", "doc_id", "url", "warc_ts", "lang", "dl")
      .repartition("segment")
      .sortWithinPartitions("doc_id")
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "docs")))
+    phase_t["docs_write_sec"] = round(
+        phase_t.get("docs_write_sec", 0.0) + time.monotonic() - t0, 2)
+    t0 = time.monotonic()
 
     # ONE shuffle for the whole posting build: the raw token stream
     # (term, doc, dl, pos occurrence rows) goes straight to its encode
@@ -279,19 +316,24 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
      .sortWithinPartitions("term", "salt")
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "postings")))
+    phase_t["encode_sec"] = round(
+        phase_t.get("encode_sec", 0.0) + time.monotonic() - t0, 2)
 
 
-def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl):
+def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
+                     seg_docs=None):
     """Per-partition checkpoint lineage + metrics (FIXTURES.md §4).
 
     ``enc_avgdl`` records the global avgdl the segment's block bounds
     were encoded under — incremental updates shift corpus stats, and the
-    query engine uses this to scale stale bounds safely (update.py)."""
+    query engine uses this to scale stale bounds safely (update.py).
+    ``seg_docs`` (the cached batch docs DF) avoids a parquet re-read."""
     post = spark.read.parquet(os.path.join(index_dir, "postings")) \
         .filter(F.col("segment").isin(batch))
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
-        .filter(F.col("segment").isin(batch))
-    fp = docs.groupBy("segment").agg(
+    if seg_docs is None:
+        seg_docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
+            .filter(F.col("segment").isin(batch))
+    fp = seg_docs.groupBy("segment").agg(
         F.count("*").alias("docs"),
         F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"))
     pm = (post.groupBy("segment", "term").agg(F.sum("df").alias("tdf"))

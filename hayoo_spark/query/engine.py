@@ -179,23 +179,44 @@ class SearchEngine:
         return [(r["url"], r["score"]) for r in top]
 
     def _search_local(self, ast, needed, m):
-        """Serving-tier path: pyarrow segment reads on the driver."""
+        """Serving-tier path: pyarrow segment reads on the driver,
+        fanned out over a thread pool (pyarrow releases the GIL; the
+        numpy evaluation is batch work)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         idf_map = self._idf_map(needed)
         flat = _flat_terms(ast)
         docs_root = os.path.join(self.index_dir, "docs")
-        terms_list = list(needed)
-        out_urls: list = []
-        out_scores: list = []
-        for seg in self._segments:
-            ppath = os.path.join(self.index_dir, "postings", f"segment={seg}")
-            pdf = pq.read_table(
-                ppath, filters=[("term", "in", terms_list)]).to_pandas()
-            if pdf.empty and flat is not None:
-                continue
+
+        # ONE dataset scan over all segment partitions — pyarrow fans the
+        # row-group reads out in C++ (term filter prunes via row-group
+        # stats since postings are term-sorted per file)
+        all_pdf = pq.read_table(
+            os.path.join(self.index_dir, "postings"),
+            filters=[("term", "in", list(needed))],
+        ).to_pandas()
+        if len(all_pdf):
+            all_pdf["segment"] = all_pdf["segment"].astype(int)  # hive partition col is categorical
+            by_seg = {int(k): v for k, v in all_pdf.groupby("segment")}
+        else:
+            by_seg = {}
+        segs = list(by_seg) if flat is not None else self._segments
+
+        post_root = os.path.join(self.index_dir, "postings")
+
+        def one_segment(seg):
+            pdf = by_seg.get(seg)
+            if pdf is None:
+                if flat is not None:
+                    return None
+                pdf = all_pdf.iloc[0:0]
             docs_pdf = load_segment_docs(docs_root, seg)
-            sd = SegmentData(pdf, docs_pdf)
+            # mtime in the cache key invalidates decoded postings when a
+            # segment is rebuilt by an incremental update
+            mt = os.path.getmtime(os.path.join(post_root, f"segment={seg}"))
+            sd = SegmentData(pdf, docs_pdf, cache_key=(post_root, seg, mt))
             ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
@@ -203,8 +224,15 @@ class SearchEngine:
                 ids, sc = ev.evaluate(ast)
                 order = np.lexsort((sd.urls[ids], -sc))[:m]
                 ids, sc = ids[order], sc[order]
-            out_urls.extend(sd.urls[ids])
-            out_scores.extend(sc)
+            return sd.urls[ids], sc
+
+        out_urls: list = []
+        out_scores: list = []
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(segs)))) as ex:
+            for res in ex.map(one_segment, segs):
+                if res is not None:
+                    out_urls.extend(res[0])
+                    out_scores.extend(res[1])
         if not out_urls:
             return []
         urls = np.asarray(out_urls, dtype=object)

@@ -29,38 +29,74 @@ from ..index import codec
 from . import plan as P
 
 
-_DOCS_CACHE: dict[str, pd.DataFrame] = {}
-_DOCS_CACHE_MAX = 8
+import os as _os
+import threading
+
+_DOCS_CACHE: dict[str, "SegmentDocs"] = {}
+_DOCS_CACHE_MAX = int(_os.environ.get("HAYOO_DOCS_CACHE_SEGMENTS", "64"))
+_DOCS_CACHE_LOCK = threading.Lock()
+
+# decoded posting lists survive across queries (hot query terms):
+# key = (postings_root, segment, term) -> (ids, tfs, block_last, block_ub)
+_POSTINGS_CACHE: dict[tuple, tuple] = {}
+_POSTINGS_CACHE_MAX = int(_os.environ.get("HAYOO_POSTINGS_CACHE", "8192"))
+_POSTINGS_CACHE_LOCK = threading.Lock()
 
 
-def load_segment_docs(docs_root: str, segment: int) -> pd.DataFrame:
+class SegmentDocs:
+    """Prepared (doc_id-ordered numpy) view of one segment's doc table."""
+
+    __slots__ = ("n_docs", "urls", "langs", "warc_ts", "dl")
+
+    def __init__(self, pdf: pd.DataFrame):
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        self.n_docs = len(pdf)
+        self.urls = pdf["url"].to_numpy(object)
+        self.langs = pdf["lang"].to_numpy(object)
+        self.warc_ts = pdf["warc_ts"].to_numpy()
+        self.dl = pdf["dl"].to_numpy(np.float64)
+
+
+def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
     """Read one segment's doc table (norms + metadata) via pyarrow,
-    cached per process — python workers are reused across queries, so
-    repeated searches skip the parquet read."""
+    prepared and cached per process — python workers are reused across
+    queries, so repeated searches skip both read and sort."""
     import pyarrow.parquet as pq
 
-    key = f"{docs_root}/segment={segment}"
-    hit = _DOCS_CACHE.get(key)
+    path = f"{docs_root}/segment={segment}"
+    # mtime in the key invalidates the cache when an incremental update
+    # rebuilds the segment
+    key = (path, _os.path.getmtime(path))
+    with _DOCS_CACHE_LOCK:
+        hit = _DOCS_CACHE.get(key)
     if hit is not None:
         return hit
     pdf = pq.read_table(
-        key, columns=["doc_id", "url", "lang", "warc_ts", "dl"]).to_pandas()
-    if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
-        _DOCS_CACHE.pop(next(iter(_DOCS_CACHE)))
-    _DOCS_CACHE[key] = pdf
-    return pdf
+        path, columns=["doc_id", "url", "lang", "warc_ts", "dl"]).to_pandas()
+    sd = SegmentDocs(pdf)
+    with _DOCS_CACHE_LOCK:
+        if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
+            _DOCS_CACHE.pop(next(iter(_DOCS_CACHE)))
+        _DOCS_CACHE[key] = sd
+    return sd
 
 
 class SegmentData:
-    """Decoded view of one segment: postings per term + doc metadata."""
+    """Decoded view of one segment: postings per term + doc metadata.
 
-    def __init__(self, postings_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
-        self.n_docs = len(docs_pdf)
-        docs_pdf = docs_pdf.sort_values("doc_id", kind="mergesort")
-        self.urls = docs_pdf["url"].to_numpy(object)
-        self.langs = docs_pdf["lang"].to_numpy(object)
-        self.warc_ts = docs_pdf["warc_ts"].to_numpy()
-        self.dl = docs_pdf["dl"].to_numpy(np.float64)
+    ``cache_key`` (index root, segment) enables the cross-query decoded
+    postings cache — hot terms skip varbyte decode + salt merge."""
+
+    def __init__(self, postings_pdf: pd.DataFrame, docs,
+                 cache_key: tuple | None = None):
+        if isinstance(docs, pd.DataFrame):
+            docs = SegmentDocs(docs)
+        self.n_docs = docs.n_docs
+        self.urls = docs.urls
+        self.langs = docs.langs
+        self.warc_ts = docs.warc_ts
+        self.dl = docs.dl
+        self._cache_key = cache_key
         self._raw: dict[str, list] = {}
         for row in postings_pdf.itertuples(index=False):
             self._raw.setdefault(row.term, []).append(row)
@@ -71,6 +107,13 @@ class SegmentData:
         salted sub-lists merged (disjoint doc sets -> concat + sort)."""
         if term in self._decoded:
             return self._decoded[term]
+        gkey = self._cache_key + (term,) if self._cache_key else None
+        if gkey:
+            with _POSTINGS_CACHE_LOCK:
+                hit = _POSTINGS_CACHE.get(gkey)
+            if hit is not None:
+                self._decoded[term] = hit
+                return hit
         rows = self._raw.get(term)
         if not rows:
             out = (np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -98,17 +141,64 @@ class SegmentData:
             blast, bub = codec.block_maxes(ids, tfs, self.dl[ids], self._avgdl)
             out = (ids, tfs, blast, bub)
         self._decoded[term] = out
+        if gkey:
+            with _POSTINGS_CACHE_LOCK:
+                if len(_POSTINGS_CACHE) >= _POSTINGS_CACHE_MAX:
+                    _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+                _POSTINGS_CACHE[gkey] = out
         return out
 
-    def positions(self, term: str) -> dict[int, np.ndarray]:
-        """doc_id -> positions (decoded lazily, phrase queries only)."""
-        rows = self._raw.get(term, [])
-        out: dict[int, np.ndarray] = {}
-        for r in rows:
+    def _pos_index(self, term: str):
+        """Per-sub-list position storage: (ids, flat_positions, offsets).
+        The flat varbyte buffer is decoded ONCE (vectorized); per-doc
+        slices are cut on demand — no per-doc Python decode loop."""
+        key = ("pos", term)
+        if key in self._decoded:
+            return self._decoded[key]
+        subs = []
+        for r in self._raw.get(term, []):
             ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
-            poss = codec.decode_positions(r.pos_vb, tfs)
-            for d, p in zip(ids.astype(np.int64), poss):
-                out[int(d)] = p.astype(np.int64)
+            flat = codec.varbyte_decode(r.pos_vb)
+            offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+            subs.append((ids.astype(np.int64), flat, offs))
+        self._decoded[key] = subs
+        return subs
+
+    def positions_flat(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_rep, abs_pos) — every occurrence of the term in the
+        segment as parallel arrays.  Segmented delta->absolute decode is
+        a single global cumsum with per-doc base correction: zero
+        per-doc Python."""
+        key = ("posflat", term)
+        if key in self._decoded:
+            return self._decoded[key]
+        gkey = self._cache_key + key if self._cache_key else None
+        if gkey:
+            with _POSTINGS_CACHE_LOCK:
+                hit = _POSTINGS_CACHE.get(gkey)
+            if hit is not None:
+                self._decoded[key] = hit
+                return hit
+        doc_parts, pos_parts = [], []
+        for ids, flat, offs in self._pos_index(term):
+            if len(flat) == 0:
+                continue
+            g = np.cumsum(flat.astype(np.int64))
+            tfs = np.diff(offs)
+            prev = np.where(offs[:-1] > 0, g[np.maximum(offs[:-1] - 1, 0)], 0)
+            abs_pos = g - np.repeat(prev, tfs)
+            doc_parts.append(np.repeat(ids, tfs))
+            pos_parts.append(abs_pos)
+        if doc_parts:
+            out = (np.concatenate(doc_parts), np.concatenate(pos_parts))
+        else:
+            out = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        self._decoded[key] = out
+        if gkey:
+            with _POSTINGS_CACHE_LOCK:
+                if len(_POSTINGS_CACHE) >= _POSTINGS_CACHE_MAX:
+                    _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+                _POSTINGS_CACHE[gkey] = out
         return out
 
     def term_scores(self, term: str, idf: float):
@@ -212,19 +302,22 @@ class SegmentEvaluator:
             cand = np.intersect1d(cand, tids, assume_unique=True)
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0)
-        pos_maps = [s.positions(t) for t in node.terms]
-        out_ids = []
-        for d in cand:
-            starts = set(pos_maps[0][int(d)].tolist())
-            for i, m in enumerate(pos_maps[1:], start=1):
-                starts &= {int(p) - i for p in m[int(d)]}
-                if not starts:
-                    break
-            if starts:
-                out_ids.append(int(d))
-        if not out_ids:
-            return np.zeros(0, np.int64), np.zeros(0)
-        ids = np.array(out_ids, dtype=np.int64)
+        # fully vectorized adjacency: encode each occurrence of term i as
+        # key = doc * 2^32 + (pos - i); a phrase start survives iff its
+        # key appears for every member term
+        keys = None
+        for i, t in enumerate(node.terms):
+            docs_r, pos_r = s.positions_flat(t)
+            if i == 0:
+                mask = np.isin(docs_r, cand, assume_unique=False)
+            else:
+                mask = np.isin(docs_r, cand) & (pos_r >= i)
+            k = docs_r[mask] * np.int64(1 << 32) + (pos_r[mask] - i)
+            k = np.unique(k)
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if keys.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0)
+        ids = np.unique(keys // np.int64(1 << 32)).astype(np.int64)
         sc = np.zeros(len(ids))
         for t in node.terms:
             tids, tsc = s.term_scores(t, self.idf.get(t, 0.0))
@@ -260,6 +353,15 @@ class SegmentEvaluator:
                 _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
                                            return_indices=True)
                 sc[ia] += boost * tsc[ib]
+            return self._cut(ids, sc, m)
+
+        # many-term ORs (prefix expansions): interval pruning costs
+        # O(intervals × terms) of small python-numpy calls and the summed
+        # bound is too loose to prune anyway — the one-pass vectorized
+        # union (concat -> unique -> bincount) wins outright
+        if len(leaves) > 8:
+            node = P.Or(tuple(P.Term(t, boost=b) for t, b in leaves))
+            ids, sc = self.evaluate(node)
             return self._cut(ids, sc, m)
 
         # OR: build elementary intervals from the union of block boundaries

@@ -49,8 +49,8 @@ def test_resume_equals_cold_build(spark, small_pages_path, tmp_path_factory):
     calls = {"n": 0}
     orig = builder._commit_manifest
 
-    def crashing(spark_, ix, batch, elapsed, enc_avgdl):
-        orig(spark_, ix, batch, elapsed, enc_avgdl)
+    def crashing(spark_, ix, batch, elapsed, enc_avgdl, **kw):
+        orig(spark_, ix, batch, elapsed, enc_avgdl, **kw)
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated crash")
