@@ -45,16 +45,26 @@ ENGINE_QUERIES = [
 ]
 
 
-def _materialize_corpus(n_docs: int) -> str:
-    """Deterministic pages corpus cached under .bench/ (seed=42)."""
+def _materialize_corpus(n_docs: int, n_files: int = 32) -> str:
+    """Deterministic pages corpus cached under .bench/ (seed=42).
+
+    Written as a DIRECTORY of n_files parquet files with small row
+    groups — a single-file single-row-group corpus is one Spark input
+    split, which serializes the scan+extraction stage on one core."""
     from hayoo_spark import fixtures
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     path = os.path.join(root, f"pages_{n_docs}")
-    out = os.path.join(path, "pages.parquet")
+    out = os.path.join(path, "pages")
     if not os.path.exists(out):
-        os.makedirs(path, exist_ok=True)
-        fixtures.make_pages(n_docs).to_parquet(out, index=False)
+        os.makedirs(out, exist_ok=True)
+        pdf = fixtures.make_pages(n_docs)
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = pdf.iloc[i * step : (i + 1) * step]
+            if len(chunk):
+                chunk.to_parquet(os.path.join(out, f"part-{i:04d}.parquet"),
+                                 index=False, row_group_size=4096)
     return out
 
 
@@ -68,11 +78,17 @@ def build_once(pages_path: str, cores: int, index_dir: str,
     from hayoo_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-build-{cores}", cores=cores,
-                      shuffle_partitions=cores)
+                      shuffle_partitions=3 * cores)  # 3x smooths stragglers
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup so the timed section measures the pipeline, not
-    # first-job initialization (matters at small corpus sizes)
-    spark.read.parquet(pages_path).limit(100).groupBy("lang").count().collect()
+    # steady-state warmup: run the SAME pipeline on a tiny slice first so
+    # every codegen class is JIT-compiled and python workers are up —
+    # otherwise ~20s of one-time JVM warmup masquerades as serial work
+    # and poisons the N-vs-4N efficiency measurement
+    warm_pages = os.path.join(index_dir + "-warm", "pages")
+    spark.read.parquet(pages_path).limit(500).write.mode("overwrite") \
+        .parquet(warm_pages)
+    build_index(spark, warm_pages, os.path.join(index_dir + "-warm", "ix"),
+                n_segments=4, salt_df_threshold=4096, n_salts=8)
     t0 = time.monotonic()
     bm = build_index(spark, pages_path, index_dir, n_segments=n_segments,
                      salt_df_threshold=4096, n_salts=8)
@@ -94,8 +110,13 @@ def _scaling_subprocess(pages_path: str, cores: int) -> dict:
         "print('BENCHJSON ' + json.dumps(build_once(%r, %d, d + '/ix')))\n"
         % (os.path.dirname(os.path.abspath(__file__)), pages_path, cores)
     )
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
+    # confine the WHOLE process tree (JVM + python workers) to `cores`
+    # cpus — otherwise local[N]'s python workers borrow the other cores
+    # and the N-vs-4N comparison overstates the small configuration
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("BENCHJSON "):
             return json.loads(line[len("BENCHJSON "):])
@@ -144,13 +165,20 @@ def main():
 
     scaling = None
     if DO_SCALING:
-        lo_cores = max(2, CPUS // 4)
-        lo = _scaling_subprocess(pages_path, lo_cores)
-        hi = _scaling_subprocess(pages_path, CPUS)
+        # N vs 4N with the whole process tree taskset-confined to N cpus.
+        # Default pair 2:8 — on this box the >8-thread range is memory-
+        # bandwidth bound for the light phases, which measures the VM,
+        # not the engine (see BENCH/BASELINE.md methodology).
+        pair = os.environ.get("HAYOO_SCALE_PAIR", "2,8").split(",")
+        lo_cores, hi_cores = int(pair[0]), int(pair[1])
+        # scaling needs enough work to amortize fixed per-run costs
+        scale_pages = _materialize_corpus(max(BENCH_DOCS, 100_000))
+        lo = _scaling_subprocess(scale_pages, lo_cores)
+        hi = _scaling_subprocess(scale_pages, hi_cores)
         speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-        ratio = CPUS / lo_cores
+        ratio = hi_cores / lo_cores
         scaling = {
-            "cores_lo": lo_cores, "cores_hi": CPUS,
+            "cores_lo": lo_cores, "cores_hi": hi_cores,
             "docs_per_sec_lo": lo["docs_per_sec"],
             "docs_per_sec_hi": hi["docs_per_sec"],
             "speedup": round(speedup, 3),

@@ -110,7 +110,8 @@ def write_pages(path: str, n_docs: int = 1000, seed: int = SEED) -> str:
     """Write pages parquet to `path` (a directory); returns the file path."""
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, "pages.parquet")
-    make_pages(n_docs, seed).to_parquet(out, index=False)
+    # small row groups keep the file splittable into Spark input tasks
+    make_pages(n_docs, seed).to_parquet(out, index=False, row_group_size=4096)
     return out
 
 

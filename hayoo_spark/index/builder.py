@@ -71,6 +71,21 @@ POSTINGS_SCHEMA = StructType([
     StructField("max_ub", DoubleType()),
 ])
 
+# grouped-map output before the term-string is joined back on
+ENCODE_SCHEMA = StructType([
+    StructField("segment", IntegerType()),
+    StructField("term_h", LongType()),
+    StructField("salt", IntegerType()),
+    StructField("df", LongType()),
+    StructField("cf", LongType()),
+    StructField("ids_vb", BinaryType()),
+    StructField("tfs_vb", BinaryType()),
+    StructField("pos_vb", BinaryType()),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_ub", ArrayType(DoubleType())),
+    StructField("max_ub", DoubleType()),
+])
+
 
 def extract_text(df: DataFrame, html_col: str = "html",
                  jvm: bool = True) -> DataFrame:
@@ -132,20 +147,28 @@ def _encode_factory(avgdl: float, block_size: int):
     dominates wall-clock: ~32k one-row groups vs ~n_segments×buckets)."""
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "salt", "doc_id", "pos"], kind="mergesort")
         seg = int(pdf["segment"].iloc[0])
-        terms = pdf["term"].to_numpy(object)
+        # the occurrence stream arrives with 64-bit term hashes, never
+        # strings — the sort is a pure integer lexsort (a string sort of
+        # 11M rows costs ~26s of python compares; this is ~1s)
+        codes = pdf["term_h"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
         poss = pdf["pos"].to_numpy(np.int64)
+        order = np.lexsort((poss, docs, salts, codes))
+        codes = codes[order]
+        salts = salts[order]
+        docs = docs[order]
+        dls = dls[order]
+        poss = poss[order]
         n = len(pdf)
         # (term, salt) group boundaries
         key_change = np.flatnonzero(
-            (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])) + 1
         g_starts = np.concatenate(([0], key_change))
         g_ends = np.concatenate((key_change, [n]))
-        out = {k: [] for k in ("segment", "term", "salt", "df", "cf", "ids_vb",
+        out = {k: [] for k in ("segment", "term_h", "salt", "df", "cf", "ids_vb",
                                "tfs_vb", "pos_vb", "block_last", "block_ub",
                                "max_ub")}
         for s, e in zip(g_starts, g_ends):
@@ -158,19 +181,21 @@ def _encode_factory(avgdl: float, block_size: int):
             tfs = (ends - starts).astype(np.int64)
             doc_dls = dls[s:e][starts]
             p = poss[s:e]
-            pos_parts = [codec.delta_encode(p[a:b].astype(np.uint64))
-                         for a, b in zip(starts, ends)]
+            # positions delta-encoded in one vector op: plain diff with a
+            # reset to the absolute position at each doc start
+            pdelta = np.empty_like(p)
+            pdelta[1:] = p[1:] - p[:-1]
+            pdelta[starts] = p[starts]
             last, ub = codec.block_maxes(ids, tfs, doc_dls, avgdl, block_size)
             out["segment"].append(seg)
-            out["term"].append(terms[s])
+            out["term_h"].append(int(codes[s]))
             out["salt"].append(int(salts[s]))
             out["df"].append(len(ids))
             out["cf"].append(int(tfs.sum()))
             out["ids_vb"].append(
                 codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64))))
             out["tfs_vb"].append(codec.varbyte_encode(tfs.astype(np.uint64)))
-            out["pos_vb"].append(
-                codec.varbyte_encode(np.concatenate(pos_parts)))
+            out["pos_vb"].append(codec.varbyte_encode(pdelta.astype(np.uint64)))
             out["block_last"].append(last.tolist())
             out["block_ub"].append(ub.tolist())
             out["max_ub"].append(float(ub.max()) if len(ub) else 0.0)
@@ -207,8 +232,10 @@ def build_index(
     # persist to avoid re-extracting/re-tokenizing the corpus per pass
     # (disk-backed — token arrays exceed executor memory at scale)
     from pyspark import StorageLevel
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = prepare_docs(pages, n_segments, parallelism=par) \
+    # extraction parallelism comes from input splits (session sets
+    # spark.sql.files.maxPartitionBytes small enough locally); an
+    # explicit repartition would pay an extra full exchange of raw html
+    docs = prepare_docs(pages, n_segments) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase_t: dict[str, float] = {}
@@ -282,36 +309,45 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
         phase_t.get("docs_write_sec", 0.0) + time.monotonic() - t0, 2)
     t0 = time.monotonic()
 
-    # ONE shuffle for the whole posting build: the raw token stream
-    # (term, doc, dl, pos occurrence rows) goes straight to its encode
-    # bucket; tf/positions aggregation happens numpy-side in the UDF.
-    tok = seg_docs.select(
-        "segment", "doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
+    # ONE shuffle for the whole posting build: the raw token stream goes
+    # straight to its encode bucket as (term_h, doc, dl, pos) occurrence
+    # rows — 64-bit hashes, never strings, so the shuffle is narrow and
+    # the in-UDF sort is integer-only.  tf/positions aggregation happens
+    # numpy-side in the UDF.  Term strings are joined back onto the
+    # ~1000x smaller encoded output from a distinct-terms dictionary.
+    tok = (seg_docs
+           .select("segment", "doc_id", "dl",
+                   F.posexplode("tokens").alias("pos", "term"))
+           .withColumn("term_h", F.xxhash64("term")))
+    term_dict = tok.select("term_h", "term").distinct()
 
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
     # split by doc id so no encode group is unbounded.  The heavy-term
     # scan is a partially-aggregated count (map-side combine), far
     # cheaper than the posting shuffle itself.
-    seg_cf = tok.groupBy("segment", "term").agg(F.count("*").alias("seg_cf"))
+    seg_cf = tok.groupBy("segment", "term_h").agg(F.count("*").alias("seg_cf"))
     heavy = seg_cf.filter(F.col("seg_cf") > salt_df_threshold) \
-        .select("segment", "term")
+        .select("segment", "term_h")
     tok = (
-        tok.join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
-                 ["segment", "term"], "left")
+        tok.drop("term")
+        .join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
+              ["segment", "term_h"], "left")
         .withColumn(
             "salt",
             F.when(F.col("is_heavy").isNotNull(),
                    F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
             .otherwise(F.lit(0)))
-        .withColumn("bucket",
-                    F.pmod(F.xxhash64("term") + F.col("salt"),
+        .withColumn("bucket",  # inner pmod first: term_h+salt could overflow int64 (ANSI)
+                    F.pmod(F.pmod(F.col("term_h"), F.lit(N_BUCKETS)) + F.col("salt"),
                            F.lit(N_BUCKETS)).cast("int"))
         .drop("is_heavy")
     )
 
     encoded = tok.groupBy("segment", "bucket").applyInPandas(
-        _encode_factory(avgdl, block_size), POSTINGS_SCHEMA)
+        _encode_factory(avgdl, block_size), ENCODE_SCHEMA)
     (encoded
+     .join(term_dict, "term_h")
+     .select(*[f.name for f in POSTINGS_SCHEMA.fields])
      .repartition("segment")
      .sortWithinPartitions("term", "salt")
      .write.mode("append").partitionBy("segment")

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory coalesces local-scale shuffles down to 1-2
+        # partitions and serializes every downstream stage; 8m keeps the
+        # cores busy while still merging genuinely tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
@@ -49,5 +53,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local corpora are tens of MB; the default 128 MB split size
+        # would put the whole scan (and extraction) on one core.  A
+        # cluster deployment over TB-scale files keeps the default.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("HAYOO_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)))
     )
+    # shuffle/spill on tmpfs when available: the single virtio disk's
+    # writeback stalls add multi-second jitter to shuffle-heavy stages
+    local_dir = os.environ.get("HAYOO_LOCAL_DIR",
+                               "/dev/shm" if os.path.isdir("/dev/shm") else "")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

@@ -1,0 +1,171 @@
+"""Pipeline operators: dedup, similarity, textstats, multimodal.
+
+Correctness anchored on planted structure: duplicated / near-duplicated
+docs and clustered embeddings that the operators must find.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hayoo_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight").split()
+    rng = np.random.RandomState(7)
+    for i in range(40):
+        words = [base[j] for j in rng.randint(0, len(base), size=30)]
+        rows.append((i, " ".join(words), "en", f"s{i}", 0))
+    # exact duplicate pair
+    rows.append((100, rows[0][1], "en", "dup", 0))
+    # near duplicate of doc 1 (one word changed)
+    w = rows[1][1].split()
+    w[5] = "changed"
+    rows.append((101, " ".join(w), "en", "near", 0))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(120):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_duplicates(spark, docs_df):
+    d = dedup.exact_duplicates(docs_df).collect()
+    assert len(d) == 1
+    assert sorted(d[0]["members"]) == [0, 100]
+    assert d[0]["keeper"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_x1e4"]
+             for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 10000  # identical
+    assert (1, 101) in pairs and pairs[(1, 101)] >= 5000
+
+
+def test_minhash_lsh_recall(spark, docs_df):
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    # LSH verifies candidates exactly, so precision is 1; at 0.5 jaccard
+    # with 8 bands x 4 rows recall of true near-dups is ~1
+    assert lsh <= exact
+    assert (0, 100) in lsh and (1, 101) in lsh
+
+
+def test_simhash_near_dup(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs_df, max_hamming=8).collect()}
+    assert pairs.get((0, 100)) == 0  # identical text -> identical simhash
+    assert (1, 101) in pairs
+
+
+def test_embedding_neardup_clusters(spark, emb_df):
+    pairs = dedup.embedding_neardup_pairs(emb_df, threshold=0.98).collect()
+    same = sum(1 for r in pairs if r["id_a"] % 4 == r["id_b"] % 4)
+    assert len(pairs) > 100
+    assert same == len(pairs)  # only same-cluster pairs at 0.98
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    q = emb_df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.cosine_topk(emb_df, list(q), k=10).collect()
+    assert top[0]["vec_id"] == 0
+    # all top-10 from the query's cluster (label 0 == vec_id % 4 == 0)
+    assert all(r["vec_id"] % 4 == 0 for r in top)
+    # verify against numpy
+    emb = emb_df.orderBy("vec_id").collect()
+    m = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    sims = m @ np.asarray(q, np.float64) / (
+        np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    assert [r["vec_id"] for r in top] == [int(i) for i in want]
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    q = emb_df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb_df, list(q), k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_cosine_topk(
+        emb_df, list(q), k=10, bits=6, multiprobe=3).collect()]
+    # clustered data: the query bucket holds its cluster -> high recall
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (exact, approx)
+
+
+def test_batch_cosine_topk(spark, emb_df):
+    rows = emb_df.filter(F.col("vec_id").isin([0, 1])).orderBy("vec_id").collect()
+    qm = np.array([rows[0]["embedding"], rows[1]["embedding"]])
+    out = similarity.batch_cosine_topk(emb_df, qm, k=5).collect()
+    assert len(out) == 10
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top0 = max(by_q[0], key=lambda r: r["cos"])
+    top1 = max(by_q[1], key=lambda r: r["cos"])
+    assert top0["vec_id"] == 0 and top1["vec_id"] == 1
+
+
+def test_token_count_and_quality(spark, docs_df):
+    tc = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(docs_df).collect()}
+    assert tc[0] == 30
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs_df).collect()}
+    assert 0 < q[0]["quality_x1e4"] <= 10000
+    assert q[0]["stop_ratio"] > 0  # 'the' present
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat and it is warm"),
+         (1, "der hund ist nicht auf der matte und das ist gut"),
+         (2, "el perro que corre por la casa con los gatos"),
+         (3, "zz yy xx ww vv")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "es", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(df).collect()}
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.make_fake_media(spark, 12)
+    a = {r["url"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    b = {r["url"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    meta = multimodal.attach_metadata(media).collect()
+    assert all(r["n_bytes"] > 0 and r["digest"] for r in meta)
+
+
+def test_multimodal_frame_plan(spark):
+    media = multimodal.make_fake_media(spark, 9)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    expect = sum(r["meta"]["duration_ms"] // 1000 + 1 for r in vids)
+    assert len(frames) == expect
+
+
+def test_real_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_image(b"xx")
