@@ -163,6 +163,11 @@ def make_queries(n_docs: int = 1000) -> list[dict]:
     add(f"warc_ts:[2024-06-01 TO 2025-01-01] AND {head[1]}", "range")
     add(f"warc_ts:[2024-02-15 TO 2024-02-16] AND {head[0]}", "range")
 
+    # fuzzy (~, Examples.md:34): misspelled head/mid terms
+    add(f"{head[0][:-1]}x~", "fuzzy")
+    add(f"{mid[0]}~", "fuzzy")
+    add(f"{head[1]}~ AND {mid[1]}", "fuzzy")
+
     add(f"{head[0]}^2 OR {mid[0]}", "boost")
     add(f"{head[0]} OR {mid[0]}^0.1", "boost")
 

@@ -105,6 +105,11 @@ def evaluate(ix: OracleIndex, node: P.Node) -> dict[int, float]:
     if isinstance(node, P.Prefix):
         return evaluate(ix, P.Or(tuple(
             P.Term(t, boost=node.boost) for t in _expand_prefix(ix, node.prefix))))
+    if isinstance(node, P.Fuzzy):
+        cands = [t for t in ix.postings if P.edit_distance_le1(node.term, t)]
+        cands.sort(key=lambda t: (-len(ix.postings[t]), t))
+        return evaluate(ix, P.Or(tuple(
+            P.Term(t, boost=node.boost) for t in cands[: P.MAX_EXPANSIONS])))
     if isinstance(node, P.Phrase):
         return _eval_phrase(ix, node)
     if isinstance(node, P.RangeFilter):

@@ -103,9 +103,30 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
+    def expand_fuzzy(self, term: str) -> list[str]:
+        """Edit-distance-1 dictionary expansion (reference `~` flavor).
+
+        With the driver-cached dict this is a linear scan restricted to
+        the first-char neighborhood; without it, F.levenshtein pushes
+        the scan into the distributed dictionary."""
+        if self._dict is not None:
+            terms, dfs = self._dict
+            cands = [(t, int(dfs[i])) for i, t in enumerate(terms)
+                     if P.edit_distance_le1(term, t)]
+        else:
+            rows = (self._terms_df
+                    .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+                    .select("term", "df").collect())
+            cands = [(r["term"], r["df"]) for r in rows]
+        cands.sort(key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in cands[: P.MAX_EXPANSIONS]]
+
     def _rewrite_prefixes(self, node: P.Node) -> P.Node:
         if isinstance(node, P.Prefix):
             terms = self.expand_prefix(node.prefix)
+            return P.Or(tuple(P.Term(t, boost=node.boost) for t in terms))
+        if isinstance(node, P.Fuzzy):
+            terms = self.expand_fuzzy(node.term)
             return P.Or(tuple(P.Term(t, boost=node.boost) for t in terms))
         if isinstance(node, P.And):
             return P.And(tuple(self._rewrite_prefixes(c) for c in node.children))

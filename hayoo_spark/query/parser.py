@@ -9,6 +9,8 @@ App.hs:144-200):
     word*                 prefix match (qWord prefix semantics,
                           App.hs:196-200; explicit `*` here instead of
                           prefix-by-default — documented deviation)
+    word~                 fuzzy match, edit distance <= 1 over the term
+                          dictionary (`~` flavor, Examples.md:34)
     "w1 w2"               phrase (Examples.md:30)
     lang:en  url:...      field-scoped filter (Examples.md:8-12)
     warc_ts:[A TO B]      range on a date field (Examples.md:37-39)
@@ -33,6 +35,7 @@ from .plan import (
     RANGE_FIELDS,
     And,
     AndNot,
+    Fuzzy,
     Node,
     Or,
     Phrase,
@@ -152,6 +155,8 @@ def _word(w: str, field: str) -> Node:
     w = w.lower()
     if w.endswith("*") and len(w) > 1:
         return Prefix(w[:-1], field=field)
+    if w.endswith("~") and len(w) > 1:
+        return Fuzzy(w[:-1], field=field)
     return Term(w, field=field)
 
 
@@ -168,6 +173,8 @@ def _apply_boost(node: Node, b: float) -> Node:
         return Term(node.term, node.field, node.boost * b)
     if isinstance(node, Prefix):
         return Prefix(node.prefix, node.field, node.boost * b)
+    if isinstance(node, Fuzzy):
+        return Fuzzy(node.term, node.field, node.boost * b)
     if isinstance(node, Phrase):
         return Phrase(node.terms, node.field, node.boost * b)
     if isinstance(node, And):

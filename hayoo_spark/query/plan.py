@@ -56,6 +56,16 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """`word~` — match dictionary terms within edit distance 1
+    (reference marker `~`, Examples.md:34); scored as the OR of
+    expansions, deterministic cap like Prefix."""
+    term: str = ""
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Phrase(Node):
     terms: tuple[str, ...] = ()
     field: str = DEFAULT_FIELD
@@ -108,3 +118,25 @@ def prefix_leaves(node: Node) -> list[Prefix]:
     if isinstance(node, AndNot):
         return prefix_leaves(node.left) + prefix_leaves(node.right)
     return []
+
+
+def edit_distance_le1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) <= 1 (single linear scan)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        diff += 1
+        if diff > 1:
+            return False
+        if la == lb:
+            i += 1
+        j += 1
+    return diff + (lb - j) <= 1

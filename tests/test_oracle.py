@@ -106,5 +106,5 @@ def test_queries_cover_kinds():
     qs = fixtures.make_queries()
     kinds = {q["kind"] for q in qs}
     assert {"term", "and", "or", "andnot", "prefix", "phrase",
-            "field", "range", "boost", "paged"} <= kinds
+            "field", "range", "boost", "paged", "fuzzy"} <= kinds
     assert len(qs) >= 55

@@ -32,6 +32,20 @@ def test_prefix():
     assert parse("spar*") == P.Prefix("spar")
 
 
+def test_fuzzy():
+    assert parse("spark~") == P.Fuzzy("spark")
+    assert parse("spark~^2") == P.Fuzzy("spark", boost=2.0)
+
+
+def test_edit_distance_le1():
+    cases = [("abc", "abc", True), ("abc", "abd", True), ("abc", "ab", True),
+             ("abc", "abcd", True), ("abc", "xbcd", False), ("abc", "adc", True),
+             ("abc", "cba", False), ("", "a", True), ("ab", "ba", False)]
+    for a, b, want in cases:
+        assert P.edit_distance_le1(a, b) == want, (a, b)
+        assert P.edit_distance_le1(b, a) == want, (b, a)
+
+
 def test_field_filter():
     assert parse("lang:EN") == P.Term("en", field="lang")
 
