@@ -126,6 +126,11 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     df = pages.withColumn("ord", F.monotonically_increasing_id())
     if parallelism:
         df = df.repartition(parallelism)
+    # optional per-document static weight (the reference's adWght /
+    # package-rank boost, hayooIndexer/src/Hayoo/Hunt/ApiDocument.hs:37);
+    # BM25 scores are multiplied by it at query time
+    if "boost" not in df.columns:
+        df = df.withColumn("boost", F.lit(1.0))
     return (
         extract_text(df)
         .withColumn("rn", F.row_number().over(w_first))
@@ -300,7 +305,7 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
         phase_t = {}
     t0 = time.monotonic()
     (seg_docs
-     .select("segment", "doc_id", "url", "warc_ts", "lang", "dl")
+     .select("segment", "doc_id", "url", "warc_ts", "lang", "dl", "boost")
      .repartition("segment")
      .sortWithinPartitions("doc_id")
      .write.mode("append").partitionBy("segment")

@@ -42,6 +42,7 @@ class OracleIndex:
     n_docs: int
     postings: dict[str, list[tuple[int, int]]]  # term -> [(doc_id, tf)] sorted
     positions: dict[str, dict[int, list[int]]]  # term -> doc -> token positions
+    boosts: np.ndarray = None  # per-doc static weight (adWght analogue)
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, ()))
@@ -49,7 +50,8 @@ class OracleIndex:
 
     def bm25(self, term: str, doc: int, tf: int) -> float:
         denom = tf + K1 * (1.0 - B + B * self.dl[doc] / self.avgdl)
-        return self.idf(term) * tf * (K1 + 1.0) / denom
+        base = self.idf(term) * tf * (K1 + 1.0) / denom
+        return base * (self.boosts[doc] if self.boosts is not None else 1.0)
 
 
 def build_oracle_index(pages: pd.DataFrame, from_html: bool = False) -> OracleIndex:
@@ -69,6 +71,8 @@ def build_oracle_index(pages: pd.DataFrame, from_html: bool = False) -> OracleIn
         for t, tf in sorted(Counter(toks).items()):
             postings.setdefault(t, []).append((doc, tf))
     n = len(dedup)
+    boosts = (dedup["boost"].to_numpy(np.float64)
+              if "boost" in dedup.columns else np.ones(n, np.float64))
     return OracleIndex(
         urls=dedup["url"].tolist(),
         langs=dedup["lang"].tolist(),
@@ -78,6 +82,7 @@ def build_oracle_index(pages: pd.DataFrame, from_html: bool = False) -> OracleIn
         n_docs=n,
         postings=postings,
         positions=positions,
+        boosts=boosts,
     )
 
 

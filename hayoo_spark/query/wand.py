@@ -29,6 +29,7 @@ from ..index import codec
 from . import plan as P
 
 
+import glob as _glob
 import os as _os
 import threading
 
@@ -46,7 +47,7 @@ _POSTINGS_CACHE_LOCK = threading.Lock()
 class SegmentDocs:
     """Prepared (doc_id-ordered numpy) view of one segment's doc table."""
 
-    __slots__ = ("n_docs", "urls", "langs", "warc_ts", "dl")
+    __slots__ = ("n_docs", "urls", "langs", "warc_ts", "dl", "boost", "max_boost")
 
     def __init__(self, pdf: pd.DataFrame):
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -55,6 +56,13 @@ class SegmentDocs:
         self.langs = pdf["lang"].to_numpy(object)
         self.warc_ts = pdf["warc_ts"].to_numpy()
         self.dl = pdf["dl"].to_numpy(np.float64)
+        # per-document static weight (adWght analogue); absent on
+        # indexes built before the column existed -> 1.0
+        if "boost" in pdf.columns:
+            self.boost = pdf["boost"].to_numpy(np.float64)
+        else:
+            self.boost = np.ones(self.n_docs, np.float64)
+        self.max_boost = float(self.boost.max()) if self.n_docs else 1.0
 
 
 def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
@@ -71,8 +79,11 @@ def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
         hit = _DOCS_CACHE.get(key)
     if hit is not None:
         return hit
-    pdf = pq.read_table(
-        path, columns=["doc_id", "url", "lang", "warc_ts", "dl"]).to_pandas()
+    cols = ["doc_id", "url", "lang", "warc_ts", "dl"]
+    if "boost" in pq.read_schema(
+            next(iter(_glob.glob(path + "/*.parquet")))).names:
+        cols.append("boost")
+    pdf = pq.read_table(path, columns=cols).to_pandas()
     sd = SegmentDocs(pdf)
     with _DOCS_CACHE_LOCK:
         if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
@@ -96,6 +107,8 @@ class SegmentData:
         self.langs = docs.langs
         self.warc_ts = docs.warc_ts
         self.dl = docs.dl
+        self.boost = docs.boost
+        self.max_boost = docs.max_boost
         self._cache_key = cache_key
         self._raw: dict[str, list] = {}
         for row in postings_pdf.itertuples(index=False):
@@ -202,9 +215,11 @@ class SegmentData:
         return out
 
     def term_scores(self, term: str, idf: float):
+        """Per-posting scores incl. the per-document static boost
+        (score = query_boost x idf x tf_norm x doc_boost, SURVEY §2.6)."""
         ids, tfs, _, _ = self.postings(term)
         norms = codec.tf_norm(tfs, self.dl[ids], self._avgdl)
-        return ids, idf * norms
+        return ids, idf * norms * self.boost[ids]
 
     _avgdl = 1.0  # set by evaluator
 
@@ -372,11 +387,14 @@ class SegmentEvaluator:
         bounds = np.unique(np.concatenate([t[4] for t in terms]))  # block_last unions
         # per interval upper bound = sum over terms of covering block ub
         iv_ub = np.zeros(len(bounds))
+        # bounds scaled by both the stats-drift factor and the segment's
+        # max doc boost so pruning stays admissible under boosted scores
+        bscale = self.ub_scale * s.max_boost
         for t, boost, ids, tfs, blast, bub in terms:
             idf = self.idf.get(t, 0.0)
             cover = np.searchsorted(blast, bounds, side="left")
             valid = cover < len(blast)
-            iv_ub[valid] += boost * idf * self.ub_scale * bub[cover[valid]]
+            iv_ub[valid] += boost * idf * bscale * bub[cover[valid]]
         order = np.argsort(-iv_ub, kind="stable")
 
         top_ids: list[np.ndarray] = []
@@ -397,7 +415,8 @@ class SegmentEvaluator:
                 sl_ids = ids[a:b]
                 norms = codec.tf_norm(tfs[a:b], s.dl[sl_ids], self.avgdl)
                 iv_cat_ids.append(sl_ids)
-                iv_cat_sc.append(boost * self.idf.get(t, 0.0) * norms)
+                iv_cat_sc.append(
+                    boost * self.idf.get(t, 0.0) * norms * s.boost[sl_ids])
             if not iv_cat_ids:
                 continue
             cat = np.concatenate(iv_cat_ids)
