@@ -406,7 +406,8 @@ sess AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM ordered)
-SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM sess GROUP BY user_id"""
     sql["d_exact_dup"] = """
 SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper

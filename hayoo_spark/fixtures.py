@@ -168,6 +168,16 @@ def make_queries(n_docs: int = 1000) -> list[dict]:
     add(f"{mid[0]}~", "fuzzy")
     add(f"{head[1]}~ AND {mid[1]}", "fuzzy")
 
+    # filter-only branches under OR / AND NOT (ADVICE r1): matches can
+    # live in segments holding NONE of the scoring terms' postings, and
+    # zero-scoring-term boolean filter queries must still evaluate
+    add(f"{tail[0]} OR lang:de", "field_mix")
+    add(f"lang:de AND NOT {tail[1]}", "field_mix")
+    add(f"lang:de OR {tail[2]}", "field_mix")
+    add("lang:en OR lang:de", "field_mix", k=100)
+    add(f"warc_ts:[2024-06-01 TO 2025-01-01] OR {tail[3]}", "field_mix")
+    add(f"lang:de AND NOT lang:de", "field_mix")
+
     add(f"{head[0]}^2 OR {mid[0]}", "boost")
     add(f"{head[0]} OR {mid[0]}^0.1", "boost")
 

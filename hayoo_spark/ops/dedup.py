@@ -205,12 +205,22 @@ def simhash_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation by 4-way signature banding (pigeonhole: any
-    pair within distance 3 shares at least one of 4 16-bit bands)."""
+    Candidate generation by signature banding with ``max_hamming + 1``
+    bands (pigeonhole: a pair within distance d differs in at most d
+    bands, so with d+1 disjoint bands at least one band is identical) —
+    candidate recall is exact, then the bit_count filter is exact."""
+    n_bands = max_hamming + 1
+    # split the 64 bits into n_bands contiguous spans (widths differ by
+    # at most 1); each band value = span bits, disjoint by construction
+    edges = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
     sigs = simhash(docs, key, text)
+    def _mask(width: int) -> int:
+        return -1 if width >= 64 else (1 << width) - 1  # -1 = all 64 bits
+
     band_arr = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-        for b in range(4)
+        F.shiftrightunsigned(F.col("simhash"), edges[b]).bitwiseAND(
+            F.lit(_mask(edges[b + 1] - edges[b])))
+        for b in range(n_bands)
     ])
     bands = sigs.select(
         key, "simhash", F.posexplode(band_arr).alias("band", "bucket"))

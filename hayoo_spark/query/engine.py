@@ -176,9 +176,21 @@ class SearchEngine:
         avgdl, ub_scale = self.avgdl, self.ub_scale
         docs_root = os.path.join(self.index_dir, "docs")
         flat = _flat_terms(ast)
+        if flat is None:
+            # non-flat ASTs can hold filter-only branches (lang:/url:/
+            # range) whose matches live in segments holding NONE of the
+            # scoring terms' postings; a groupBy over the term-filtered
+            # postings never forms a group for those segments, silently
+            # dropping their docs (ADVICE r1).  A sentinel row per
+            # segment (null term, filtered out before decode) guarantees
+            # every segment is evaluated, matching local mode.
+            sent = self.spark.createDataFrame(
+                [(s,) for s in self._segments], "segment int")
+            post = post.unionByName(sent, allowMissingColumns=True)
 
         def eval_segment(key, pdf):
             seg = int(key[0])
+            pdf = pdf[pdf["term"].notna()]
             docs_pdf = load_segment_docs(docs_root, seg)
             sd = SegmentData(pdf, docs_pdf)
             ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale)
@@ -237,7 +249,13 @@ class SearchEngine:
             # mtime in the cache key invalidates decoded postings when a
             # segment is rebuilt by an incremental update
             mt = os.path.getmtime(os.path.join(post_root, f"segment={seg}"))
-            sd = SegmentData(pdf, docs_pdf, cache_key=(post_root, seg, mt))
+            # avgdl in the key: salted-term merges rebuild block bounds
+            # under the CURRENT avgdl — an incremental update to OTHER
+            # segments shifts global avgdl without touching this
+            # segment's mtime, and stale lower bounds would make pruning
+            # inadmissible in a long-lived process (ADVICE r1)
+            sd = SegmentData(pdf, docs_pdf,
+                             cache_key=(post_root, seg, mt, self.avgdl))
             ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
@@ -277,14 +295,20 @@ class SearchEngine:
         if isinstance(node, P.RangeFilter):
             return (F.col(node.field) >= F.lit(node.lo)) & (
                 F.col(node.field) < F.lit(node.hi))
-        if isinstance(node, P.And) and node.children:
+        if isinstance(node, (P.And, P.Or)) and node.children:
             conds = [self._filter_cond(c) for c in node.children]
             if any(c is None for c in conds):
                 return None
             out = conds[0]
             for c in conds[1:]:
-                out = out & c
+                out = (out & c) if isinstance(node, P.And) else (out | c)
             return out
+        if isinstance(node, P.AndNot):
+            left = self._filter_cond(node.left)
+            right = self._filter_cond(node.right)
+            if left is None or right is None:
+                return None
+            return left & ~right
         return None
 
     # ---------------- autocomplete ----------------

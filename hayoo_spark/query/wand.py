@@ -47,13 +47,20 @@ _POSTINGS_CACHE_LOCK = threading.Lock()
 class SegmentDocs:
     """Prepared (doc_id-ordered numpy) view of one segment's doc table."""
 
-    __slots__ = ("n_docs", "urls", "langs", "warc_ts", "dl", "boost", "max_boost")
+    __slots__ = ("n_docs", "urls", "langs", "langs_lc", "urls_lc",
+                 "warc_ts", "dl", "boost", "max_boost")
 
     def __init__(self, pdf: pd.DataFrame):
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         self.n_docs = len(pdf)
         self.urls = pdf["url"].to_numpy(object)
         self.langs = pdf["lang"].to_numpy(object)
+        # filter comparisons are case-insensitive on BOTH sides (the
+        # oracle and the docs-scan path lowercase the stored value;
+        # mixed-case data must match identically here — ADVICE r1).
+        # Precomputed once per cached SegmentDocs, shared across queries.
+        self.langs_lc = pdf["lang"].str.lower().to_numpy(object)
+        self.urls_lc = pdf["url"].str.lower().to_numpy(object)
         self.warc_ts = pdf["warc_ts"].to_numpy()
         self.dl = pdf["dl"].to_numpy(np.float64)
         # per-document static weight (adWght analogue); absent on
@@ -105,6 +112,8 @@ class SegmentData:
         self.n_docs = docs.n_docs
         self.urls = docs.urls
         self.langs = docs.langs
+        self.langs_lc = docs.langs_lc
+        self.urls_lc = docs.urls_lc
         self.warc_ts = docs.warc_ts
         self.dl = docs.dl
         self.boost = docs.boost
@@ -262,10 +271,10 @@ class SegmentEvaluator:
                 ids, sc = s.term_scores(node.term, self.idf.get(node.term, 0.0))
                 return ids, node.boost * sc
             if node.field == "lang":
-                ids = np.flatnonzero(s.langs == node.term).astype(np.int64)
+                ids = np.flatnonzero(s.langs_lc == node.term).astype(np.int64)
                 return ids, np.zeros(len(ids))
             if node.field == "url":
-                ids = np.flatnonzero(s.urls == node.term).astype(np.int64)
+                ids = np.flatnonzero(s.urls_lc == node.term).astype(np.int64)
                 return ids, np.zeros(len(ids))
             return np.zeros(0, np.int64), np.zeros(0)
         if isinstance(node, P.RangeFilter):

@@ -34,6 +34,19 @@ def test_reference_query_set_spark(engine, oracle_ix, q):
     _check(engine, oracle_ix, q["query"], q["k"], q["page"], "spark")
 
 
+FIELD_MIX = [q for q in QUERIES if q["kind"] == "field_mix"]
+
+
+@pytest.mark.parametrize(
+    "q", FIELD_MIX, ids=[f"q{q['query_id']}_{q['kind']}" for q in FIELD_MIX])
+def test_filter_branch_queries_spark(engine, oracle_ix, q):
+    """Spark mode must scan segments that hold none of the scoring
+    terms' postings when the AST has filter-only branches (ADVICE r1) —
+    these queries are guaranteed in the spark sample, not left to the
+    every-4th stride."""
+    _check(engine, oracle_ix, q["query"], q["k"], q["page"], "spark")
+
+
 def test_autocomplete_parity(engine, oracle_ix):
     for prefix in ["ba", "bi", "so", "zz"]:
         got = engine.autocomplete(prefix, n=10)
