@@ -7,12 +7,14 @@ Architecture (designed for 10^12 docs / 1000 executors, tested on local):
   a segment is the unit of checkpointing, resume, and query parallelism.
   Reference analogue: per-package batch partitioning + save intervals
   (hayooIndexer/src/HayooIndexer.hs:85-88,351-368).
-- within a segment, postings are built by a term shuffle:
-  ``explode(tokens) -> groupBy(segment, term, doc) -> tf/positions ->
-  groupBy(segment, term, salt) -> Arrow grouped-map encode``.  Heavy
-  terms (Zipf head, df above a threshold) are **salted** into
-  sub-lists so no single group exceeds a bounded size — AQE does not
-  handle grouped-map skew, so this is explicit (SURVEY.md §4).
+- within a segment, postings are built by ONE term shuffle over
+  map-side-combined rows: ``posexplode(tokens) -> mapInPandas combine
+  to one (doc, term) row with packed positions -> groupBy(segment,
+  bucket) -> Arrow grouped-map encode``.  The combine shrinks shuffle
+  volume by ~avg-tf (tokens -> postings).  Heavy terms (Zipf head, df
+  above a threshold) are **salted** into sub-lists so no single group
+  exceeds a bounded size — AQE does not handle grouped-map skew, so
+  this is explicit (SURVEY.md §4).
 - posting lists are sorted doc-id arrays stored delta+varbyte with
   per-block max-score metadata (index/codec.py) for block-max WAND.
 - every segment batch appends a **checkpoint manifest** row with input
@@ -86,6 +88,17 @@ ENCODE_SCHEMA = StructType([
     StructField("max_ub", DoubleType()),
 ])
 
+# map-side combined occurrence stream: one row per (doc, term) with the
+# doc's positions already delta+varbyte packed
+COMBINED_SCHEMA = StructType([
+    StructField("segment", IntegerType()),
+    StructField("doc_id", LongType()),
+    StructField("dl", LongType()),
+    StructField("term_h", LongType()),
+    StructField("tf", LongType()),
+    StructField("pos_vb", BinaryType()),
+])
+
 
 def extract_text(df: DataFrame, html_col: str = "html",
                  jvm: bool = True) -> DataFrame:
@@ -143,32 +156,88 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     )
 
 
+def _combine_occurrences(batches):
+    """Map-side (doc, term) combine — runs BEFORE the posting shuffle.
+
+    Input: raw occurrence rows (segment, doc_id, dl, term_h, pos), all
+    64-bit integers (term hashed JVM-side).  Output: one row per
+    (doc, term) carrying tf and the doc's positions already delta+
+    varbyte packed.  This shrinks the shuffle from one row per TOKEN to
+    one row per POSTING (~avg-tf fewer rows; the tf=10k heavy-hitter doc
+    collapses to one row) — the classic map-side combine, done in numpy
+    because Spark inserts partial aggregation only for aggregates, not
+    for grouped-map inputs.
+
+    The per-(doc,term) buffers are byte-identical spans of the old
+    whole-group position stream (absolute position at each doc start,
+    deltas within), so the encode step just concatenates them and every
+    decode path is unchanged (resume builds stay bit-equal; tested).
+
+    Batches are concatenated per input partition: a doc's occurrences
+    must not straddle an Arrow batch boundary or the group would emit
+    twice.  Partition size is bounded by the input split
+    (maxPartitionBytes), so this holds at cluster scale.
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+    n = len(pdf)
+    seg = pdf["segment"].to_numpy(np.int64)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    th = pdf["term_h"].to_numpy(np.int64)
+    pos = pdf["pos"].to_numpy(np.int64)
+    # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key
+    order = np.lexsort((pos, th, doc, seg))
+    seg_s, doc_s, dl_s = seg[order], doc[order], dl[order]
+    th_s, pos_s = th[order], pos[order]
+    change = np.flatnonzero(
+        (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        | (seg_s[1:] != seg_s[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    pdelta = np.empty_like(pos_s)
+    pdelta[1:] = pos_s[1:] - pos_s[:-1]
+    pdelta[starts] = pos_s[starts]
+    buf, nbytes = codec.varbyte_encode_lengths(pdelta.astype(np.uint64))
+    bends = np.cumsum(nbytes)[ends - 1]
+    bstarts = np.concatenate(([0], bends[:-1]))
+    mv = memoryview(buf)
+    yield pd.DataFrame({
+        "segment": seg_s[starts].astype(np.int32),
+        "doc_id": doc_s[starts],
+        "dl": dl_s[starts],
+        "term_h": th_s[starts],
+        "tf": (ends - starts).astype(np.int64),
+        "pos_vb": [bytes(mv[a:b]) for a, b in zip(bstarts, bends)],
+    })
+
+
 def _encode_factory(avgdl: float, block_size: int):
     """Bucket-level encoder: one Arrow group = MANY (term, salt) posting
-    lists.  The token stream arrives as raw occurrence rows
-    (term, salt, doc_id, dl, pos); tf aggregation, position lists, and
-    varbyte encoding all happen with numpy slicing inside the UDF — no
-    second Spark shuffle and no per-term Arrow-group overhead (which
-    dominates wall-clock: ~32k one-row groups vs ~n_segments×buckets)."""
+    lists.  The combined stream arrives as one row per (doc, term) —
+    (term_h, salt, doc_id, dl, tf, pos_vb); sorting is a pure integer
+    lexsort (64-bit term hashes, never strings) and position buffers are
+    concatenated spans, so there is no per-posting Python."""
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
-        # the occurrence stream arrives with 64-bit term hashes, never
-        # strings — the sort is a pure integer lexsort (a string sort of
-        # 11M rows costs ~26s of python compares; this is ~1s)
         codes = pdf["term_h"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        poss = pdf["pos"].to_numpy(np.int64)
-        order = np.lexsort((poss, docs, salts, codes))
+        tfs_all = pdf["tf"].to_numpy(np.int64)
+        pvb = pdf["pos_vb"].to_numpy(object)
+        order = np.lexsort((docs, salts, codes))
         codes = codes[order]
         salts = salts[order]
         docs = docs[order]
         dls = dls[order]
-        poss = poss[order]
+        tfs_all = tfs_all[order]
+        pvb = pvb[order]
         n = len(pdf)
-        # (term, salt) group boundaries
+        # (term, salt) group boundaries; docs are unique within a group
         key_change = np.flatnonzero(
             (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])) + 1
         g_starts = np.concatenate(([0], key_change))
@@ -177,21 +246,9 @@ def _encode_factory(avgdl: float, block_size: int):
                                "tfs_vb", "pos_vb", "block_last", "block_ub",
                                "max_ub")}
         for s, e in zip(g_starts, g_ends):
-            d = docs[s:e]
-            # doc boundaries within the (sorted) group
-            dc = np.flatnonzero(d[1:] != d[:-1]) + 1
-            starts = np.concatenate(([0], dc))
-            ends = np.concatenate((dc, [e - s]))
-            ids = d[starts]
-            tfs = (ends - starts).astype(np.int64)
-            doc_dls = dls[s:e][starts]
-            p = poss[s:e]
-            # positions delta-encoded in one vector op: plain diff with a
-            # reset to the absolute position at each doc start
-            pdelta = np.empty_like(p)
-            pdelta[1:] = p[1:] - p[:-1]
-            pdelta[starts] = p[starts]
-            last, ub = codec.block_maxes(ids, tfs, doc_dls, avgdl, block_size)
+            ids = docs[s:e]
+            tfs = tfs_all[s:e]
+            last, ub = codec.block_maxes(ids, tfs, dls[s:e], avgdl, block_size)
             out["segment"].append(seg)
             out["term_h"].append(int(codes[s]))
             out["salt"].append(int(salts[s]))
@@ -200,7 +257,7 @@ def _encode_factory(avgdl: float, block_size: int):
             out["ids_vb"].append(
                 codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64))))
             out["tfs_vb"].append(codec.varbyte_encode(tfs.astype(np.uint64)))
-            out["pos_vb"].append(codec.varbyte_encode(pdelta.astype(np.uint64)))
+            out["pos_vb"].append(b"".join(pvb[s:e]))
             out["block_last"].append(last.tolist())
             out["block_ub"].append(ub.tolist())
             out["max_ub"].append(float(ub.max()) if len(ub) else 0.0)
@@ -279,11 +336,13 @@ def build_index(
         batch = pending[i : i + batch_size]
         t0 = time.monotonic()
         seg_docs = docs.filter(F.col("segment").isin(batch))
-        _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
-                        salt_df_threshold, n_salts, phase_t)
+        combined = _build_segments(spark, seg_docs, index_dir, avgdl,
+                                   block_size, salt_df_threshold, n_salts,
+                                   phase_t)
         t1 = time.monotonic()
         _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
-                         seg_docs=seg_docs)
+                         seg_docs=seg_docs, combined=combined)
+        combined.unpersist()
         phase_t["manifest_sec"] = round(
             phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
         metrics["segments_built"] += len(batch)
@@ -314,27 +373,36 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
         phase_t.get("docs_write_sec", 0.0) + time.monotonic() - t0, 2)
     t0 = time.monotonic()
 
-    # ONE shuffle for the whole posting build: the raw token stream goes
-    # straight to its encode bucket as (term_h, doc, dl, pos) occurrence
-    # rows — 64-bit hashes, never strings, so the shuffle is narrow and
-    # the in-UDF sort is integer-only.  tf/positions aggregation happens
-    # numpy-side in the UDF.  Term strings are joined back onto the
-    # ~1000x smaller encoded output from a distinct-terms dictionary.
-    tok = (seg_docs
+    # ONE shuffle for the whole posting build, over COMBINED rows: the
+    # raw occurrence stream (64-bit term hashes, never strings) is
+    # map-side combined to one row per (doc, term) with positions packed
+    # (_combine_occurrences) BEFORE the exchange, so shuffle volume is
+    # ~avg-tf smaller than shipping tokens.  Term strings are joined
+    # back onto the ~1000x smaller encoded output from a distinct-terms
+    # dictionary.  `combined` is persisted because three consumers read
+    # it (heavy-term scan, encode, manifest metrics) and recomputing it
+    # would re-run the python combine per consumer.
+    from pyspark import StorageLevel
+    occ = (seg_docs
            .select("segment", "doc_id", "dl",
                    F.posexplode("tokens").alias("pos", "term"))
-           .withColumn("term_h", F.xxhash64("term")))
-    term_dict = tok.select("term_h", "term").distinct()
+           .withColumn("term_h", F.xxhash64("term"))
+           .drop("term"))
+    combined = occ.mapInPandas(_combine_occurrences, COMBINED_SCHEMA) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    term_dict = (seg_docs.select(F.explode("tokens").alias("term")).distinct()
+                 .withColumn("term_h", F.xxhash64("term")))
 
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
-    # split by doc id so no encode group is unbounded.  The heavy-term
-    # scan is a partially-aggregated count (map-side combine), far
-    # cheaper than the posting shuffle itself.
-    seg_cf = tok.groupBy("segment", "term_h").agg(F.count("*").alias("seg_cf"))
-    heavy = seg_cf.filter(F.col("seg_cf") > salt_df_threshold) \
-        .select("segment", "term_h")
-    tok = (
-        tok.drop("term")
+    # split by doc id so no encode group is unbounded.  AQE does not
+    # handle grouped-map skew, so this is explicit (SURVEY.md §4); the
+    # scan is a partial-aggregated sum over the combined relation.
+    heavy = (combined.groupBy("segment", "term_h")
+             .agg(F.sum("tf").alias("seg_cf"))
+             .filter(F.col("seg_cf") > salt_df_threshold)
+             .select("segment", "term_h"))
+    comb = (
+        combined
         .join(F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
               ["segment", "term_h"], "left")
         .withColumn(
@@ -348,7 +416,7 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
         .drop("is_heavy")
     )
 
-    encoded = tok.groupBy("segment", "bucket").applyInPandas(
+    encoded = comb.groupBy("segment", "bucket").applyInPandas(
         _encode_factory(avgdl, block_size), ENCODE_SCHEMA)
     (encoded
      .join(term_dict, "term_h")
@@ -359,40 +427,57 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
      .parquet(os.path.join(index_dir, "postings")))
     phase_t["encode_sec"] = round(
         phase_t.get("encode_sec", 0.0) + time.monotonic() - t0, 2)
+    return combined
 
 
 def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
-                     seg_docs=None):
+                     seg_docs=None, combined=None):
     """Per-partition checkpoint lineage + metrics (FIXTURES.md §4).
 
     ``enc_avgdl`` records the global avgdl the segment's block bounds
     were encoded under — incremental updates shift corpus stats, and the
     query engine uses this to scale stale bounds safely (update.py).
-    ``seg_docs`` (the cached batch docs DF) avoids a parquet re-read."""
-    post = spark.read.parquet(os.path.join(index_dir, "postings")) \
-        .filter(F.col("segment").isin(batch))
+    ``seg_docs`` (the cached batch docs DF) and ``combined`` (the
+    persisted per-(doc,term) relation) avoid re-reading what was just
+    written: a (segment, term) row count over `combined` IS the
+    per-term df, so postings totals and skew come from two cheap
+    aggregations over cached data instead of a parquet re-read of the
+    postings (was 26% of build wall-clock)."""
     if seg_docs is None:
         seg_docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
             .filter(F.col("segment").isin(batch))
     fp = seg_docs.groupBy("segment").agg(
         F.count("*").alias("docs"),
         F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"))
-    pm = (post.groupBy("segment", "term").agg(F.sum("df").alias("tdf"))
+    if combined is None:
+        combined = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                    .filter(F.col("segment").isin(batch))
+                    .select("segment", F.col("term").alias("term_h"), "df"))
+        pm_src = combined.groupBy("segment", "term_h") \
+            .agg(F.sum("df").alias("tdf"))
+    else:
+        pm_src = combined.groupBy("segment", "term_h") \
+            .agg(F.count("*").alias("tdf"))
+    pm = (pm_src
           .groupBy("segment")
           .agg(F.sum("tdf").alias("postings"),
                (F.max("tdf") / F.avg("tdf")).alias("skew_ratio")))
-    rows = {r["segment"]: r for r in fp.collect()}
-    prows = {r["segment"]: r for r in pm.collect()}
+    # ONE driver job for both aggregates (job-submission latency is pure
+    # fixed cost in the N-vs-4N scaling measurement)
+    merged = fp.join(pm, "segment", "full_outer").collect()
+    rows = {r["segment"]: r for r in merged}
+    prows = rows
     out = []
     per_seg = elapsed / max(1, len(batch))
     for s in batch:
         d = rows.get(s)
         p = prows.get(s)
-        ndocs = d["docs"] if d else 0
-        nposts = p["postings"] if p else 0
+        ndocs = (d["docs"] if d and d["docs"] is not None else 0)
+        nposts = (p["postings"] if p and p["postings"] is not None else 0)
         out.append((
             f"seg-{s:05d}", s,
-            str(d["input_fingerprint"]) if d else "0",
+            str(d["input_fingerprint"])
+            if d and d["input_fingerprint"] is not None else "0",
             int(ndocs), int(nposts),
             ndocs / per_seg if per_seg else 0.0,
             nposts / per_seg if per_seg else 0.0,

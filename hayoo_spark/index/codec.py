@@ -23,11 +23,14 @@ K1 = 1.2
 B = 0.75
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized VByte encode of a uint64 array."""
+def varbyte_encode_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized VByte encode of a uint64 array, returning the buffer
+    AND per-value byte lengths — callers slicing independently-decodable
+    spans (e.g. one span per document) out of a single vectorized encode
+    need the value->byte offsets."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bits/7) for bits > 7
     nbytes = np.ones(v.size, dtype=np.int64)
     for k in range(1, 10):
@@ -41,7 +44,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
         cont = np.where(nbytes[mask] - 1 > i, 0x80, 0).astype(np.uint8)
         out[starts[mask] + i] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte encode of a uint64 array."""
+    return varbyte_encode_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -56,12 +56,17 @@ def score_terms(
     key: str = "doc_id",
     mode: str = "or",
     prefix: str | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Score docs for a term set (OR-sum) or require all (AND).
 
+    ``stats`` = precomputed (n_docs, avgdl): callers issuing many
+    queries over one corpus pass a memoized value so each query does
+    not re-collect corpus stats (a full tf scan + driver round-trip).
+
     -> (key, score double, score_x1e4 bigint, n_terms)
     """
-    n_docs, avgdl = corpus_stats(tf, key)
+    n_docs, avgdl = stats if stats is not None else corpus_stats(tf, key)
     df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
     if prefix is not None:
         sel = tf.filter(F.col("term").startswith(prefix))
