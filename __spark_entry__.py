@@ -162,6 +162,43 @@ def q_boost(spark, sf_dir):
     )
 
 
+def q_field_weighted(spark, sf_dir):
+    """Multi-field (context) BM25F scoring — SURVEY §2 A2/Q5 and the
+    reference's weighted context schema (hayooIndexer/src/Hayoo/Hunt/
+    IndexSchema.hs:103-137): 'title' = first 5 tokens (weight 2.5),
+    'body' = the rest (weight 1.0); per-field df/dl/avgdl; score =
+    sum over fields of w_f * bm25_f."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", tokens_col("text").alias("tk"))
+    title = base.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.explode(F.slice("tk", 1, 5)).alias("term"))
+    body = base.select(
+        "doc_id", F.lit("body").alias("field"),
+        F.explode(F.expr("slice(tk, 6, greatest(size(tk) - 5, 0))")).alias("term"))
+    occ = title.unionByName(body)
+    tf = occ.groupBy("field", "doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = occ.groupBy("field", "doc_id").agg(F.count("*").alias("dl"))
+    st = dl.groupBy("field").agg(F.count("*").alias("nf"),
+                                 F.avg("dl").alias("avgdl"))
+    dfr = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
+    w = F.when(F.col("field") == "title", 2.5).otherwise(1.0)
+    idf = F.log(F.lit(1.0) + (F.col("nf") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    num = F.col("tf").cast("double") * (K1 + 1.0)
+    den = F.col("tf").cast("double") + K1 * (
+        1.0 - B + B * F.col("dl").cast("double") / F.col("avgdl"))
+    return (
+        tf.filter(F.col("term").isin(["spark", "join"]))
+        .join(F.broadcast(dfr), ["field", "term"])
+        .join(dl, ["field", "doc_id"])
+        .join(F.broadcast(st), "field")
+        .withColumn("contrib", w * idf * num / den)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib") * 10000).cast("bigint").alias("score_x1e4"),
+             F.count("*").alias("n_contribs"))
+    )
+
+
 def q_latest_version_dedup(spark, sf_dir):
     """S4 latest-version dedup scan: keep max-version row per key
     (reference: TarUtil.hs:93-134) — latest order per customer here."""
@@ -292,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_paging": q_topk_paging,
         "q_autocomplete": q_autocomplete,
         "q_boost": q_boost,
+        "q_field_weighted": q_field_weighted,
         "q_latest_version_dedup": q_latest_version_dedup,
         "q_join_compose": q_join_compose,
         "q_events_sessionize": q_events_sessionize,
@@ -405,6 +443,33 @@ SELECT term, df FROM d ORDER BY df DESC, term LIMIT 10"""
         "tf.term IN ('spark','join')",
         weight="(CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 0.5 END)") + \
         "SELECT doc_id, score_x1e4 FROM scores"
+    sql["q_field_weighted"] = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                             x -> length(x) >= {MIN_TOKEN_LEN}) AS tk
+  FROM documents),
+occ AS (
+  SELECT doc_id, 'title' AS field, unnest(tk[1:5]) AS term FROM tk
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(tk[6:]) AS term FROM tk),
+tf AS (SELECT field, doc_id, term, count(*) AS tf FROM occ GROUP BY ALL),
+dl AS (SELECT field, doc_id, count(*) AS dl FROM occ GROUP BY ALL),
+st AS (SELECT field, count(*) AS nf, avg(dl) AS avgdl FROM dl GROUP BY field),
+dfr AS (SELECT field, term, count(*) AS df FROM tf GROUP BY ALL)
+SELECT tf.doc_id,
+       CAST(ROUND(sum(
+         (CASE WHEN tf.field = 'title' THEN 2.5 ELSE 1.0 END)
+         * ln(1.0 + (st.nf - dfr.df + 0.5)/(dfr.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl))
+       ) * 10000) AS BIGINT) AS score_x1e4,
+       count(*) AS n_contribs
+FROM tf
+JOIN dfr ON dfr.field = tf.field AND dfr.term = tf.term
+JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+JOIN st ON st.field = tf.field
+WHERE tf.term IN ('spark', 'join')
+GROUP BY tf.doc_id"""
     sql["q_latest_version_dedup"] = """
 SELECT o_custkey, o_orderkey, o_orderdate FROM (
   SELECT o_custkey, o_orderkey, o_orderdate,

@@ -75,9 +75,12 @@ def _materialize_corpus(n_docs: int, n_files: int = 32,
                 chunk.to_parquet(os.path.join(out, f"part-{i:04d}.parquet"),
                                  index=False, row_group_size=4096)
     if shm and SHM_ROOT:
+        import glob
         import shutil
         shm_out = os.path.join(SHM_ROOT, f"pages_{n_docs}")
-        if not os.path.exists(shm_out):
+        # re-stage unless the copy already holds the parquet files
+        if not glob.glob(os.path.join(shm_out, "*.parquet")):
+            shutil.rmtree(shm_out, ignore_errors=True)
             os.makedirs(SHM_ROOT, exist_ok=True)
             shutil.copytree(out, shm_out)
         return shm_out

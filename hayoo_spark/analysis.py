@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 # The token character class.  ASCII-word on purpose: identical meaning in
 # Java regex (Spark), RE2 (DuckDB) and Python `re`.
 TOKEN_RE = "[a-z0-9_]+"
+TOKEN_RE_CS = "[a-zA-Z0-9_]+"  # case-sensitive flavor (no lowercasing)
 MIN_TOKEN_LEN = 2
 
 _PY_TOKEN_RE = re.compile(TOKEN_RE)
+_PY_TOKEN_RE_CS = re.compile(TOKEN_RE_CS)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.DOTALL | re.IGNORECASE)
 
 # HTML extraction: the fixture pages wrap text as
 # <html><head><title>T</title></head><body><p>TEXT</p></body></html>.
@@ -54,20 +57,46 @@ def extract_text_col(html: Column | str) -> Column:
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
-def tokens_col(text: Column | str) -> Column:
+def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
     """Spark Column of tokens (array<string>) for a text column.
 
     lowercase -> extract TOKEN_RE matches -> drop tokens shorter than
     MIN_TOKEN_LEN.  Stays JVM-side (regexp_extract_all + filter).
+    ``lowercase=False`` keeps original case (the `!` case-sensitive
+    field flavor).
     """
     col = F.col(text) if isinstance(text, str) else text
-    toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+    if lowercase:
+        toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+    else:
+        toks = F.regexp_extract_all(col, F.lit(TOKEN_RE_CS), 0)
     return F.filter(toks, lambda t: F.length(t) >= MIN_TOKEN_LEN)
 
 
-def tokenize_py(text: str) -> list[str]:
+def tokenize_py(text: str, lowercase: bool = True) -> list[str]:
     """Pure-Python tokenizer — must agree exactly with tokens_col."""
-    return [t for t in _PY_TOKEN_RE.findall(text.lower()) if len(t) >= MIN_TOKEN_LEN]
+    if lowercase:
+        return [t for t in _PY_TOKEN_RE.findall(text.lower())
+                if len(t) >= MIN_TOKEN_LEN]
+    return [t for t in _PY_TOKEN_RE_CS.findall(text)
+            if len(t) >= MIN_TOKEN_LEN]
+
+
+def extract_title_col(html: Column | str) -> Column:
+    """JVM-side <title> extraction (whitespace collapsed); empty string
+    when the document has no title element."""
+    col = F.col(html) if isinstance(html, str) else html
+    doc = col.cast("string")
+    t = F.regexp_extract(doc, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_title_py(html: bytes | str) -> str:
+    """Oracle twin of extract_title_col."""
+    doc = (html.decode("utf-8", errors="replace")
+           if isinstance(html, (bytes, bytearray)) else html)
+    m = _TITLE_RE.search(doc)
+    return " ".join(m.group(1).split()) if m else ""
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:

@@ -70,6 +70,8 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     span = dt.timedelta(days=365)
 
+    tags = np.array(["alpha", "beta", "gamma"], dtype=object)
+
     rows = []
     pos = 0
     for i in range(n_docs):
@@ -77,7 +79,8 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
         pos += lengths[i]
         text = " ".join(words)
         rows.append(_row(f"https://example{i % 7}.org/p/{i:08d}",
-                         t0 + span * (i / max(1, n_docs)), text, langs[i]))
+                         t0 + span * (i / max(1, n_docs)), text, langs[i],
+                         tag=str(tags[i % 3])))
 
     # --- edge docs at fixed urls (FIXTURES.md §1) ---
     t_edge = t0 + dt.timedelta(days=364)
@@ -90,8 +93,14 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     rows.append(_row("https://example0.org/p/00000000", t_edge, "duplicate shadow content", "de"))
     # heavy hitter: top Zipf term repeated 10k times (skew/salting path)
     rows.append(_row("https://edge.org/heavy", t_edge, " ".join([top] * 10_000), "en"))
+    # mixed-case doc: distinct case variants for the `!` case-sensitive
+    # field (the no-case tokenizer folds all three to one term)
+    rows.append(_row("https://edge.org/case", t_edge,
+                     "CamelCase camelcase CAMELCASE CamelCase plainword",
+                     "en"))
 
-    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df = pd.DataFrame(rows,
+                      columns=["url", "warc_ts", "html", "text", "lang", "tag"])
     # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
     df["warc_ts"] = (
         pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
@@ -100,10 +109,10 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     return df
 
 
-def _row(url: str, ts: dt.datetime, text: str, lang: str):
+def _row(url: str, ts: dt.datetime, text: str, lang: str, tag: str = "alpha"):
     title = " ".join(text.split()[:3])
     html = f"<html><head><title>{title}</title></head><body><p>{text}</p></body></html>"
-    return (url, ts.replace(tzinfo=None), html.encode("utf-8"), text, lang)
+    return (url, ts.replace(tzinfo=None), html.encode("utf-8"), text, lang, tag)
 
 
 def write_pages(path: str, n_docs: int = 1000, seed: int = SEED) -> str:

@@ -53,8 +53,11 @@ from pyspark.sql.types import (
     StringType, StructField, StructType,
 )
 
-from ..analysis import extract_text_col, extract_text_series, tokens_col
+from ..analysis import (
+    extract_text_col, extract_text_series, extract_title_col, tokens_col,
+)
 from . import codec
+from .fields import DEFAULT_FIELDS, FieldSpec, fkey_of
 
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
 DEFAULT_N_SALTS = 8
@@ -62,6 +65,7 @@ DEFAULT_N_SALTS = 8
 POSTINGS_SCHEMA = StructType([
     StructField("segment", IntegerType()),
     StructField("term", StringType()),
+    StructField("field", StringType()),
     StructField("salt", IntegerType()),
     StructField("df", LongType()),
     StructField("cf", LongType()),
@@ -73,7 +77,7 @@ POSTINGS_SCHEMA = StructType([
     StructField("max_ub", DoubleType()),
 ])
 
-# grouped-map output before the term-string is joined back on
+# grouped-map output before the (field, term) strings are joined back on
 ENCODE_SCHEMA = StructType([
     StructField("segment", IntegerType()),
     StructField("term_h", LongType()),
@@ -88,12 +92,15 @@ ENCODE_SCHEMA = StructType([
     StructField("max_ub", DoubleType()),
 ])
 
-# map-side combined occurrence stream: one row per (doc, term) with the
-# doc's positions already delta+varbyte packed
+# map-side combined occurrence stream: one row per (doc, field, term)
+# with the doc's positions already delta+varbyte packed.  ``fkey`` is
+# the small-int field index (constant within a term_h group — term_h
+# hashes (field, term)) so the encoder can pick the field's avgdl.
 COMBINED_SCHEMA = StructType([
     StructField("segment", IntegerType()),
     StructField("doc_id", LongType()),
     StructField("dl", LongType()),
+    StructField("fkey", IntegerType()),
     StructField("term_h", LongType()),
     StructField("tf", LongType()),
     StructField("pos_vb", BinaryType()),
@@ -119,8 +126,20 @@ def extract_text(df: DataFrame, html_col: str = "html",
     return df.withColumn("text_x", _extract(F.col(html_col)))
 
 
+def field_tokens_col(f: FieldSpec):
+    """Token array for one field spec (see fields.FieldSpec.source)."""
+    if f.source == "body":
+        return tokens_col("text_x")
+    if f.source == "body_cs":
+        return tokens_col("text_x", lowercase=False)
+    if f.source == "title":
+        return tokens_col(extract_title_col(F.col("html")))
+    return tokens_col(F.col(f.source))
+
+
 def prepare_docs(pages: DataFrame, n_segments: int,
-                 parallelism: int | None = None) -> DataFrame:
+                 parallelism: int | None = None,
+                 fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS) -> DataFrame:
     """pages -> deduped, segmented, extracted, tokenized docs.
 
     - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133):
@@ -132,7 +151,9 @@ def prepare_docs(pages: DataFrame, n_segments: int,
       extract+tokenize pass runs on one core);
     - segment = xxhash64(url) mod n_segments (document partitioning);
     - doc_id = dense local ordinal, url-ascending within segment
-      (deterministic ⇒ resumable builds are bit-equal).
+      (deterministic ⇒ resumable builds are bit-equal);
+    - per field f: ``tokens_<f>`` array + ``dl_<f>`` length (BM25F —
+      every field is its own mini-index, fields.py).
     """
     w_first = Window.partitionBy("url").orderBy("ord")
     w_seg = Window.partitionBy("segment").orderBy("url")
@@ -144,16 +165,17 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     # BM25 scores are multiplied by it at query time
     if "boost" not in df.columns:
         df = df.withColumn("boost", F.lit(1.0))
-    return (
+    out = (
         extract_text(df)
         .withColumn("rn", F.row_number().over(w_first))
         .filter(F.col("rn") == 1)
         .drop("rn", "ord")
         .withColumn("segment", F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
-        .withColumn("tokens", tokens_col("text_x"))
-        .withColumn("dl", F.size("tokens"))
-        .withColumn("doc_id", (F.row_number().over(w_seg) - 1).cast("long"))
     )
+    for f in fields:
+        out = out.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
+                 .withColumn(f"dl_{f.name}", F.size(f"tokens_{f.name}").cast("long"))
+    return out.withColumn("doc_id", (F.row_number().over(w_seg) - 1).cast("long"))
 
 
 def _combine_occurrences(batches):
@@ -186,12 +208,14 @@ def _combine_occurrences(batches):
     seg = pdf["segment"].to_numpy(np.int64)
     doc = pdf["doc_id"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
+    fk = pdf["fkey"].to_numpy(np.int64)
     th = pdf["term_h"].to_numpy(np.int64)
     pos = pdf["pos"].to_numpy(np.int64)
-    # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key
+    # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key;
+    # term_h hashes (field, term) so fkey/dl are constant per group
     order = np.lexsort((pos, th, doc, seg))
     seg_s, doc_s, dl_s = seg[order], doc[order], dl[order]
-    th_s, pos_s = th[order], pos[order]
+    th_s, pos_s, fk_s = th[order], pos[order], fk[order]
     change = np.flatnonzero(
         (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])
         | (seg_s[1:] != seg_s[:-1])) + 1
@@ -208,18 +232,22 @@ def _combine_occurrences(batches):
         "segment": seg_s[starts].astype(np.int32),
         "doc_id": doc_s[starts],
         "dl": dl_s[starts],
+        "fkey": fk_s[starts].astype(np.int32),
         "term_h": th_s[starts],
         "tf": (ends - starts).astype(np.int64),
         "pos_vb": [bytes(mv[a:b]) for a, b in zip(bstarts, bends)],
     })
 
 
-def _encode_factory(avgdl: float, block_size: int):
+def _encode_factory(avgdls: list[float], block_size: int):
     """Bucket-level encoder: one Arrow group = MANY (term, salt) posting
     lists.  The combined stream arrives as one row per (doc, term) —
     (term_h, salt, doc_id, dl, tf, pos_vb); sorting is a pure integer
     lexsort (64-bit term hashes, never strings) and position buffers are
-    concatenated spans, so there is no per-posting Python."""
+    concatenated spans, so there is no per-posting Python.
+
+    ``avgdls`` is indexed by the row's fkey — block upper bounds use the
+    owning FIELD's avgdl (BM25F: every field is its own mini-index)."""
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
@@ -227,6 +255,7 @@ def _encode_factory(avgdl: float, block_size: int):
         salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
+        fks = pdf["fkey"].to_numpy(np.int64)
         tfs_all = pdf["tf"].to_numpy(np.int64)
         pvb = pdf["pos_vb"].to_numpy(object)
         order = np.lexsort((docs, salts, codes))
@@ -234,6 +263,7 @@ def _encode_factory(avgdl: float, block_size: int):
         salts = salts[order]
         docs = docs[order]
         dls = dls[order]
+        fks = fks[order]
         tfs_all = tfs_all[order]
         pvb = pvb[order]
         n = len(pdf)
@@ -248,7 +278,8 @@ def _encode_factory(avgdl: float, block_size: int):
         for s, e in zip(g_starts, g_ends):
             ids = docs[s:e]
             tfs = tfs_all[s:e]
-            last, ub = codec.block_maxes(ids, tfs, dls[s:e], avgdl, block_size)
+            last, ub = codec.block_maxes(ids, tfs, dls[s:e],
+                                         avgdls[fks[s]], block_size)
             out["segment"].append(seg)
             out["term_h"].append(int(codes[s]))
             out["salt"].append(int(salts[s]))
@@ -276,12 +307,15 @@ def build_index(
     n_salts: int = DEFAULT_N_SALTS,
     segments_per_batch: int | None = None,
     resume: bool = False,
+    fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
 ) -> dict:
     """Build (or resume) the index.  Returns build metrics.
 
     ``segments_per_batch`` bounds the work between checkpoints (the
     reference's save interval, HayooIndexer.hs:86-88); default = all
-    segments in one batch.
+    segments in one batch.  ``fields`` is the context schema
+    (fields.py); on resume the schema is read back from ``stats/`` so a
+    resumed build cannot silently diverge from the original.
     """
     if not resume and os.path.exists(index_dir):
         # cold build must not append onto stale segments
@@ -289,6 +323,15 @@ def build_index(
         for sub in ("stats", "docs", "postings", "terms", "manifest"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
+
+    stats_path = os.path.join(index_dir, "stats")
+    srows = None
+    if resume and os.path.exists(stats_path):
+        srows = sorted(spark.read.parquet(stats_path).collect(),
+                       key=lambda r: r["fkey"])
+        fields = tuple(FieldSpec(r["field"], r["weight"], r["is_default"],
+                                 r["source"]) for r in srows)
+
     pages = spark.read.parquet(pages_path)
     # tokenized docs feed the stats pass AND every segment batch:
     # persist to avoid re-extracting/re-tokenizing the corpus per pass
@@ -297,26 +340,30 @@ def build_index(
     # extraction parallelism comes from input splits (session sets
     # spark.sql.files.maxPartitionBytes small enough locally); an
     # explicit repartition would pay an extra full exchange of raw html
-    docs = prepare_docs(pages, n_segments) \
+    docs = prepare_docs(pages, n_segments, fields=fields) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase_t: dict[str, float] = {}
     t_phase = time.monotonic()
 
-    stats_path = os.path.join(index_dir, "stats")
-    if resume and os.path.exists(stats_path):
-        srow = spark.read.parquet(stats_path).collect()[0]
-        n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    if srows is not None:
+        n_docs = srows[0]["n_docs"]
+        avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
     else:
-        agg = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").alias("total_tokens"),
-            F.avg("dl").alias("avgdl"),
-        ).collect()[0]
-        n_docs, avgdl = agg["n_docs"], float(agg["avgdl"] or 1.0)
+        aggs = [F.count("*").alias("n_docs")]
+        for f in fields:
+            aggs.append(F.sum(f"dl_{f.name}").alias(f"tot_{f.name}"))
+            aggs.append(F.avg(f"dl_{f.name}").alias(f"avg_{f.name}"))
+        a = docs.agg(*aggs).collect()[0]
+        n_docs = a["n_docs"]
+        avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0) for f in fields}
+        rows = [(f.name, i, float(f.weight), bool(f.default), f.source,
+                 int(n_docs), avgdl[f.name], int(a[f"tot_{f.name}"] or 0))
+                for i, f in enumerate(fields)]
         spark.createDataFrame(
-            [(int(n_docs), float(avgdl), int(agg["total_tokens"] or 0))],
-            "n_docs long, avgdl double, total_tokens long",
+            rows,
+            "field string, fkey int, weight double, is_default boolean, "
+            "source string, n_docs long, avgdl double, total_tokens long",
         ).coalesce(1).write.mode("overwrite").parquet(stats_path)
 
     phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
@@ -330,17 +377,20 @@ def build_index(
     pending = [s for s in range(n_segments) if s not in done]
     batch_size = segments_per_batch or max(1, len(pending))
     metrics = {"segments_built": 0, "n_docs": int(n_docs),
-               "avgdl": round(float(avgdl), 3)}
+               "avgdl": {k: round(v, 3) for k, v in avgdl.items()}}
+    # conservative drift reference: the smallest field avgdl at encode
+    # (engine scales stored bounds by max-now / min-enc; update.py)
+    enc_avgdl = min(avgdl.values()) if avgdl else 1.0
 
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
         t0 = time.monotonic()
         seg_docs = docs.filter(F.col("segment").isin(batch))
-        combined = _build_segments(spark, seg_docs, index_dir, avgdl,
+        combined = _build_segments(spark, seg_docs, index_dir, avgdl, fields,
                                    block_size, salt_df_threshold, n_salts,
                                    phase_t)
         t1 = time.monotonic()
-        _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
+        _commit_manifest(spark, index_dir, batch, t1 - t0, enc_avgdl,
                          seg_docs=seg_docs, combined=combined)
         combined.unpersist()
         phase_t["manifest_sec"] = round(
@@ -358,13 +408,15 @@ def build_index(
 N_BUCKETS = 32  # encode-groups per segment; bounds Arrow group size
 
 
-def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
+def _build_segments(spark, seg_docs, index_dir, avgdl, fields, block_size,
                     salt_df_threshold, n_salts, phase_t=None):
     if phase_t is None:
         phase_t = {}
     t0 = time.monotonic()
+    doc_cols = ["segment", "doc_id", "url", "warc_ts", "lang", "boost"] + \
+        [f"dl_{f.name}" for f in fields]
     (seg_docs
-     .select("segment", "doc_id", "url", "warc_ts", "lang", "dl", "boost")
+     .select(*doc_cols)
      .repartition("segment")
      .sortWithinPartitions("doc_id")
      .write.mode("append").partitionBy("segment")
@@ -383,15 +435,33 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
     # it (heavy-term scan, encode, manifest metrics) and recomputing it
     # would re-run the python combine per consumer.
     from pyspark import StorageLevel
-    occ = (seg_docs
-           .select("segment", "doc_id", "dl",
-                   F.posexplode("tokens").alias("pos", "term"))
-           .withColumn("term_h", F.xxhash64("term"))
-           .drop("term"))
+    fkeys = fkey_of(fields)
+    occ_parts, dict_parts = [], []
+    for f in fields:
+        occ_parts.append(
+            seg_docs.select(
+                "segment", "doc_id",
+                F.col(f"dl_{f.name}").alias("dl"),
+                F.posexplode(f"tokens_{f.name}").alias("pos", "term"))
+            .withColumn("field", F.lit(f.name))
+            .withColumn("fkey", F.lit(fkeys[f.name]).cast("int")))
+        dict_parts.append(
+            seg_docs.select(F.explode(f"tokens_{f.name}").alias("term"))
+            .withColumn("field", F.lit(f.name)))
+    occ = occ_parts[0]
+    for p in occ_parts[1:]:
+        occ = occ.unionByName(p)
+    # posting identity is (field, term): hash both so every downstream
+    # integer path (combine, salting, buckets) is field-aware for free
+    occ = occ.withColumn("term_h", F.xxhash64("field", "term")) \
+        .drop("term", "field")
     combined = occ.mapInPandas(_combine_occurrences, COMBINED_SCHEMA) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    term_dict = (seg_docs.select(F.explode("tokens").alias("term")).distinct()
-                 .withColumn("term_h", F.xxhash64("term")))
+    term_dict = dict_parts[0]
+    for p in dict_parts[1:]:
+        term_dict = term_dict.unionByName(p)
+    term_dict = term_dict.distinct() \
+        .withColumn("term_h", F.xxhash64("field", "term"))
 
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
     # split by doc id so no encode group is unbounded.  AQE does not
@@ -416,13 +486,14 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, block_size,
         .drop("is_heavy")
     )
 
+    avgdls = [avgdl[f.name] for f in fields]
     encoded = comb.groupBy("segment", "bucket").applyInPandas(
-        _encode_factory(avgdl, block_size), ENCODE_SCHEMA)
+        _encode_factory(avgdls, block_size), ENCODE_SCHEMA)
     (encoded
      .join(term_dict, "term_h")
      .select(*[f.name for f in POSTINGS_SCHEMA.fields])
      .repartition("segment")
-     .sortWithinPartitions("term", "salt")
+     .sortWithinPartitions("term", "field", "salt")
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "postings")))
     phase_t["encode_sec"] = round(
@@ -500,9 +571,9 @@ def finalize(spark: SparkSession, index_dir: str) -> None:
     (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union)."""
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    (post.groupBy("term")
+    (post.groupBy("field", "term")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .repartitionByRange(n_parts, "term")
-     .sortWithinPartitions("term")
+     .sortWithinPartitions("term", "field")
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, "terms")))

@@ -89,7 +89,17 @@ def update_index(
 
     # refresh global stats BEFORE re-encode so new segments use current
     # corpus-wide avgdl (stats pass inside build_index, resume=False for
-    # stats is forced by deleting the stats dir)
+    # stats is forced by deleting the stats dir).  The field schema
+    # lives in stats too — capture it first so the rebuild keeps the
+    # original contexts unless the caller overrides them.
+    if "fields" not in build_kwargs:
+        from .fields import FieldSpec
+        srows = sorted(
+            spark.read.parquet(os.path.join(index_dir, "stats")).collect(),
+            key=lambda r: r["fkey"])
+        build_kwargs["fields"] = tuple(
+            FieldSpec(r["field"], r["weight"], r["is_default"], r["source"])
+            for r in srows)
     shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
 
     build_index(spark, pages_path, index_dir, n_segments=n_segments,

@@ -1,10 +1,16 @@
-"""Exact pure-Python BM25 oracle — the rank-identity reference.
+"""Exact pure-Python BM25F oracle — the rank-identity reference.
 
 Implements the full query surface (AST from query/parser.py) with exact
-scoring over the pages table.  ~200 LoC, no Spark, deliberately naive:
-tokenize -> dict-of-lists postings -> exact BM25 -> full sort.  The Spark
-engine must reproduce its top-k url sequence exactly, scores to 1e-6
-(BASELINE.json rank-identical criterion).
+scoring over the pages table.  ~250 LoC, no Spark, deliberately naive:
+tokenize per field -> dict-of-lists postings -> exact BM25F -> full
+sort.  The Spark engine must reproduce its top-k url sequence exactly,
+scores to 1e-6 (BASELINE.json rank-identical criterion).
+
+Field (context) semantics mirror fields.FieldSpec — every field is its
+own mini-index with its own df/dl/avgdl; an unscoped query term scores
+the union of default fields; ``field:term`` scores one field; every
+contribution is scaled by the field's weight (weight 0 = match-only,
+the reference's filter contexts, IndexSchema.hs:119).
 
 Determinism rules (the *tested* contract, FIXTURES.md §3):
 - documents keyed by url, first occurrence wins
@@ -19,12 +25,13 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
 
-from .analysis import extract_text_py, tokenize_py
+from .analysis import extract_text_py, extract_title_py, tokenize_py
+from .index.fields import DEFAULT_FIELDS, FieldSpec
 from .query import plan as P
 from .query.parser import parse
 
@@ -37,40 +44,61 @@ class OracleIndex:
     urls: list[str]
     langs: list[str]
     warc_ts: list[pd.Timestamp]
-    dl: np.ndarray
-    avgdl: float
+    dl: dict  # field -> np.ndarray
+    avgdl: dict  # field -> float
     n_docs: int
-    postings: dict[str, list[tuple[int, int]]]  # term -> [(doc_id, tf)] sorted
-    positions: dict[str, dict[int, list[int]]]  # term -> doc -> token positions
+    postings: dict  # (field, term) -> [(doc_id, tf)] sorted
+    positions: dict  # (field, term) -> doc -> token positions
     boosts: np.ndarray = None  # per-doc static weight (adWght analogue)
+    weights: dict = dc_field(default_factory=lambda: {"text": 1.0})
+    default_fields: tuple = ("text",)
 
-    def idf(self, term: str) -> float:
-        df = len(self.postings.get(term, ()))
+    def idf(self, fld: str, term: str) -> float:
+        df = len(self.postings.get((fld, term), ()))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def bm25(self, term: str, doc: int, tf: int) -> float:
-        denom = tf + K1 * (1.0 - B + B * self.dl[doc] / self.avgdl)
-        base = self.idf(term) * tf * (K1 + 1.0) / denom
+    def bm25(self, fld: str, term: str, doc: int, tf: int) -> float:
+        """Weighted per-field BM25 contribution (BM25F-lite)."""
+        denom = tf + K1 * (1.0 - B + B * self.dl[fld][doc] / self.avgdl[fld])
+        base = self.idf(fld, term) * tf * (K1 + 1.0) / denom
+        base *= self.weights[fld]
         return base * (self.boosts[doc] if self.boosts is not None else 1.0)
 
 
-def build_oracle_index(pages: pd.DataFrame, from_html: bool = False) -> OracleIndex:
+def _field_text(row, f: FieldSpec, from_html: bool) -> tuple[str, bool]:
+    """(text, lowercase?) for one field of one page row."""
+    if f.source == "body":
+        return (extract_text_py(row["html"]) if from_html
+                else row["text"]), True
+    if f.source == "body_cs":
+        return (extract_text_py(row["html"]) if from_html
+                else row["text"]), False
+    if f.source == "title":
+        return extract_title_py(row["html"]), True
+    return str(row[f.source]), True
+
+
+def build_oracle_index(
+    pages: pd.DataFrame, from_html: bool = False,
+    fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
+) -> OracleIndex:
     dedup = pages.drop_duplicates(subset=["url"], keep="first")
     dedup = dedup.sort_values("url", kind="mergesort").reset_index(drop=True)
-    texts = (
-        dedup["html"].map(extract_text_py) if from_html else dedup["text"].tolist()
-    )
-    postings: dict[str, list[tuple[int, int]]] = {}
-    positions: dict[str, dict[int, list[int]]] = {}
-    dl = np.zeros(len(dedup), dtype=np.float64)
-    for doc, text in enumerate(texts):
-        toks = tokenize_py(text)
-        dl[doc] = len(toks)
-        for pos, t in enumerate(toks):
-            positions.setdefault(t, {}).setdefault(doc, []).append(pos)
-        for t, tf in sorted(Counter(toks).items()):
-            postings.setdefault(t, []).append((doc, tf))
     n = len(dedup)
+    postings: dict = {}
+    positions: dict = {}
+    dl = {f.name: np.zeros(n, dtype=np.float64) for f in fields}
+    for doc in range(n):
+        row = dedup.iloc[doc]
+        for f in fields:
+            text, lower = _field_text(row, f, from_html)
+            toks = tokenize_py(text, lowercase=lower)
+            dl[f.name][doc] = len(toks)
+            for pos, t in enumerate(toks):
+                positions.setdefault((f.name, t), {}) \
+                    .setdefault(doc, []).append(pos)
+            for t, tf in sorted(Counter(toks).items()):
+                postings.setdefault((f.name, t), []).append((doc, tf))
     boosts = (dedup["boost"].to_numpy(np.float64)
               if "boost" in dedup.columns else np.ones(n, np.float64))
     return OracleIndex(
@@ -78,17 +106,30 @@ def build_oracle_index(pages: pd.DataFrame, from_html: bool = False) -> OracleIn
         langs=dedup["lang"].tolist(),
         warc_ts=list(pd.to_datetime(dedup["warc_ts"])),
         dl=dl,
-        avgdl=float(dl.mean()) if n else 1.0,
+        avgdl={k: (float(v.mean()) if n else 1.0) for k, v in dl.items()},
         n_docs=n,
         postings=postings,
         positions=positions,
         boosts=boosts,
+        weights={f.name: float(f.weight) for f in fields},
+        default_fields=tuple(f.name for f in fields if f.default),
     )
 
 
-def _expand_prefix(ix: OracleIndex, prefix: str) -> list[str]:
-    cands = [t for t in ix.postings if t.startswith(prefix)]
-    cands.sort(key=lambda t: (-len(ix.postings[t]), t))
+def _fields_of(ix: OracleIndex, node_field: str) -> tuple[str, ...]:
+    if node_field == P.DEFAULT_FIELD:
+        return ix.default_fields
+    if node_field in ix.weights:
+        return (node_field,)
+    return ()
+
+
+def _expand_prefix(ix: OracleIndex, prefix: str, node_field: str) -> list[str]:
+    acc: dict[str, int] = {}
+    for (f, t), ps in ix.postings.items():
+        if f in _fields_of(ix, node_field) and t.startswith(prefix):
+            acc[t] = acc.get(t, 0) + len(ps)
+    cands = sorted(acc, key=lambda t: (-acc[t], t))
     return cands[: P.MAX_EXPANSIONS]
 
 
@@ -99,9 +140,13 @@ def _parse_ts(s: str) -> pd.Timestamp:
 def evaluate(ix: OracleIndex, node: P.Node) -> dict[int, float]:
     """Match set with scores: {doc_id: score}.  Filter-only nodes yield 0.0."""
     if isinstance(node, P.Term):
-        if node.field == P.DEFAULT_FIELD:
-            return {d: node.boost * ix.bm25(node.term, d, tf)
-                    for d, tf in ix.postings.get(node.term, ())}
+        flds = _fields_of(ix, node.field)
+        if flds:
+            out: dict[int, float] = {}
+            for f in flds:
+                for d, tf in ix.postings.get((f, node.term), ()):
+                    out[d] = out.get(d, 0.0) + node.boost * ix.bm25(f, node.term, d, tf)
+            return out
         if node.field == "lang":
             return {d: 0.0 for d in range(ix.n_docs) if ix.langs[d].lower() == node.term}
         if node.field == "url":
@@ -109,14 +154,23 @@ def evaluate(ix: OracleIndex, node: P.Node) -> dict[int, float]:
         return {}
     if isinstance(node, P.Prefix):
         return evaluate(ix, P.Or(tuple(
-            P.Term(t, boost=node.boost) for t in _expand_prefix(ix, node.prefix))))
+            P.Term(t, field=node.field, boost=node.boost)
+            for t in _expand_prefix(ix, node.prefix, node.field))))
     if isinstance(node, P.Fuzzy):
-        cands = [t for t in ix.postings if P.edit_distance_le1(node.term, t)]
-        cands.sort(key=lambda t: (-len(ix.postings[t]), t))
+        acc: dict[str, int] = {}
+        for (f, t), ps in ix.postings.items():
+            if f in _fields_of(ix, node.field) and P.edit_distance_le1(node.term, t):
+                acc[t] = acc.get(t, 0) + len(ps)
+        cands = sorted(acc, key=lambda t: (-acc[t], t))
         return evaluate(ix, P.Or(tuple(
-            P.Term(t, boost=node.boost) for t in cands[: P.MAX_EXPANSIONS])))
+            P.Term(t, field=node.field, boost=node.boost)
+            for t in cands[: P.MAX_EXPANSIONS])))
     if isinstance(node, P.Phrase):
-        return _eval_phrase(ix, node)
+        out: dict[int, float] = {}
+        for f in _fields_of(ix, node.field):
+            for d, s in _eval_phrase_field(ix, node, f).items():
+                out[d] = out.get(d, 0.0) + s
+        return out
     if isinstance(node, P.RangeFilter):
         lo, hi = _parse_ts(node.lo), _parse_ts(node.hi)
         return {d: 0.0 for d in range(ix.n_docs) if lo <= ix.warc_ts[d] < hi}
@@ -141,11 +195,11 @@ def evaluate(ix: OracleIndex, node: P.Node) -> dict[int, float]:
     raise TypeError(f"unknown node {node!r}")
 
 
-def _eval_phrase(ix: OracleIndex, node: P.Phrase) -> dict[int, float]:
+def _eval_phrase_field(ix: OracleIndex, node: P.Phrase, fld: str) -> dict[int, float]:
     if not node.terms:
         return {}
     terms = [t for t in node.terms]
-    pos_maps = [ix.positions.get(t, {}) for t in terms]
+    pos_maps = [ix.positions.get((fld, t), {}) for t in terms]
     docs = set(pos_maps[0])
     for m in pos_maps[1:]:
         docs &= set(m)
@@ -159,8 +213,8 @@ def _eval_phrase(ix: OracleIndex, node: P.Phrase) -> dict[int, float]:
         if starts:
             score = 0.0
             for t in terms:
-                tf = dict(ix.postings[t]).get(d, 0)
-                score += node.boost * ix.bm25(t, d, tf)
+                tf = dict(ix.postings[(fld, t)]).get(d, 0)
+                score += node.boost * ix.bm25(fld, t, d, tf)
             out[d] = score
     return out
 
@@ -177,8 +231,12 @@ def search(
 
 
 def autocomplete(ix: OracleIndex, prefix: str, n: int = 20) -> list[tuple[str, int]]:
-    """Completion: dictionary terms under prefix, by df desc then term
-    (reference: `complete` endpoint, hayoo-server/src/Hayoo/App.hs:101-111)."""
-    cands = [(t, len(ps)) for t, ps in ix.postings.items() if t.startswith(prefix)]
-    cands.sort(key=lambda kv: (-kv[1], kv[0]))
+    """Completion: default-field dictionary terms under prefix, by
+    summed df desc then term (reference: `complete` endpoint,
+    hayoo-server/src/Hayoo/App.hs:101-111)."""
+    acc: dict[str, int] = {}
+    for (f, t), ps in ix.postings.items():
+        if f in ix.default_fields and t.startswith(prefix):
+            acc[t] = acc.get(t, 0) + len(ps)
+    cands = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
     return cands[:n]

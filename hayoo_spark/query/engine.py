@@ -54,26 +54,40 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
-        row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
-        self.n_docs = row["n_docs"]
-        self.avgdl = float(row["avgdl"])
+        srows = sorted(
+            spark.read.parquet(os.path.join(index_dir, "stats")).collect(),
+            key=lambda r: r["fkey"])
+        self.n_docs = srows[0]["n_docs"]
+        # per-field BM25F stats + schema (weights / default-search set)
+        self.avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
+        self.field_weights = {r["field"]: float(r["weight"]) for r in srows}
+        self.default_fields = tuple(
+            r["field"] for r in srows if r["is_default"])
         # incremental updates shift avgdl after some segments were encoded;
         # stored block bounds scale by at most avgdl_now/avgdl_enc, so this
-        # factor keeps block-max pruning admissible (index/update.py)
+        # factor keeps block-max pruning admissible (index/update.py).
+        # enc_avgdl records the MINIMUM field avgdl at encode; max-now /
+        # min-enc dominates every per-field drift ratio (conservative).
         man = spark.read.parquet(os.path.join(index_dir, "manifest"))
-        min_enc = man.agg(F.min("enc_avgdl")).collect()[0][0] or self.avgdl
-        self.ub_scale = max(1.0, self.avgdl / float(min_enc))
+        max_now = max(self.avgdl.values())
+        min_enc = man.agg(F.min("enc_avgdl")).collect()[0][0] or max_now
+        self.ub_scale = max(1.0, max_now / float(min_enc))
 
         self._terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
-        self._dict: tuple[list[str], np.ndarray] | None = None
+        # driver dict: per field, term-sorted arrays (cutover to the
+        # distributed dictionary above DICT_CACHE_BYTES — web scale)
+        self._dict: dict[str, tuple[list[str], np.ndarray]] | None = None
         size = sum(os.path.getsize(p) for p in glob.glob(
             os.path.join(index_dir, "terms", "*.parquet")))
         if size <= DICT_CACHE_BYTES:
             import pyarrow.parquet as pq
             t = pq.read_table(os.path.join(index_dir, "terms"),
-                              columns=["term", "df"]).to_pandas()
-            t = t.sort_values("term", kind="mergesort")
-            self._dict = (t["term"].tolist(), t["df"].to_numpy(np.int64))
+                              columns=["field", "term", "df"]).to_pandas()
+            self._dict = {}
+            for f, sub in t.groupby("field"):
+                sub = sub.sort_values("term", kind="mergesort")
+                self._dict[f] = (sub["term"].tolist(),
+                                 sub["df"].to_numpy(np.int64))
         self._segments = sorted(
             int(os.path.basename(p).split("=")[1]) for p in
             glob.glob(os.path.join(index_dir, "postings", "segment=*")))
@@ -83,51 +97,86 @@ class SearchEngine:
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def _dict_prefix_range(self, prefix: str) -> list[tuple[str, int]]:
-        terms, dfs = self._dict
-        lo = bisect.bisect_left(terms, prefix)
-        hi = bisect.bisect_left(terms, prefix + "￿")
-        return [(terms[i], int(dfs[i])) for i in range(lo, hi)]
+    def _expand_fields(self, field: str) -> tuple[str, ...]:
+        """Fields a scoring leaf touches: the default set for unscoped
+        leaves, the named field when it is indexed, else nothing."""
+        if field == P.DEFAULT_FIELD:
+            return self.default_fields
+        if field in self.field_weights:
+            return (field,)
+        return ()
 
-    def expand_prefix(self, prefix: str) -> list[str]:
+    def _dict_prefix_range(self, prefix: str,
+                           fields: tuple[str, ...]) -> list[tuple[str, int]]:
+        """(term, summed df over `fields`) under `prefix` — ranking
+        candidates across the searched field set."""
+        acc: dict[str, int] = {}
+        for f in fields:
+            d = self._dict.get(f)
+            if d is None:
+                continue
+            terms, dfs = d
+            lo = bisect.bisect_left(terms, prefix)
+            hi = bisect.bisect_left(terms, prefix + "￿")
+            for i in range(lo, hi):
+                acc[terms[i]] = acc.get(terms[i], 0) + int(dfs[i])
+        return list(acc.items())
+
+    def expand_prefix(self, prefix: str,
+                      field: str = P.DEFAULT_FIELD) -> list[str]:
+        fields = self._expand_fields(field)
         if self._dict is not None:
-            cands = self._dict_prefix_range(prefix)
+            cands = self._dict_prefix_range(prefix, fields)
             cands.sort(key=lambda kv: (-kv[1], kv[0]))
             return [t for t, _ in cands[: P.MAX_EXPANSIONS]]
         rows = (
             self._terms_df
-            .filter(F.col("term").startswith(prefix))
+            .filter(F.col("field").isin(list(fields))
+                    & F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.sum("df").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(P.MAX_EXPANSIONS)
             .collect()
         )
         return [r["term"] for r in rows]
 
-    def expand_fuzzy(self, term: str) -> list[str]:
+    def expand_fuzzy(self, term: str,
+                     field: str = P.DEFAULT_FIELD) -> list[str]:
         """Edit-distance-1 dictionary expansion (reference `~` flavor).
 
-        With the driver-cached dict this is a linear scan restricted to
-        the first-char neighborhood; without it, F.levenshtein pushes
-        the scan into the distributed dictionary."""
+        With the driver-cached dict this is a linear scan; without it,
+        F.levenshtein pushes the scan into the distributed dictionary."""
+        fields = self._expand_fields(field)
         if self._dict is not None:
-            terms, dfs = self._dict
-            cands = [(t, int(dfs[i])) for i, t in enumerate(terms)
-                     if P.edit_distance_le1(term, t)]
+            acc: dict[str, int] = {}
+            for f in fields:
+                d = self._dict.get(f)
+                if d is None:
+                    continue
+                terms, dfs = d
+                for i, t in enumerate(terms):
+                    if P.edit_distance_le1(term, t):
+                        acc[t] = acc.get(t, 0) + int(dfs[i])
+            cands = list(acc.items())
         else:
             rows = (self._terms_df
-                    .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
-                    .select("term", "df").collect())
+                    .filter(F.col("field").isin(list(fields))
+                            & (F.levenshtein(F.col("term"), F.lit(term)) <= 1))
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .collect())
             cands = [(r["term"], r["df"]) for r in rows]
         cands.sort(key=lambda kv: (-kv[1], kv[0]))
         return [t for t, _ in cands[: P.MAX_EXPANSIONS]]
 
     def _rewrite_prefixes(self, node: P.Node) -> P.Node:
         if isinstance(node, P.Prefix):
-            terms = self.expand_prefix(node.prefix)
-            return P.Or(tuple(P.Term(t, boost=node.boost) for t in terms))
+            terms = self.expand_prefix(node.prefix, node.field)
+            return P.Or(tuple(
+                P.Term(t, field=node.field, boost=node.boost) for t in terms))
         if isinstance(node, P.Fuzzy):
-            terms = self.expand_fuzzy(node.term)
-            return P.Or(tuple(P.Term(t, boost=node.boost) for t in terms))
+            terms = self.expand_fuzzy(node.term, node.field)
+            return P.Or(tuple(
+                P.Term(t, field=node.field, boost=node.boost) for t in terms))
         if isinstance(node, P.And):
             return P.And(tuple(self._rewrite_prefixes(c) for c in node.children))
         if isinstance(node, P.Or):
@@ -137,27 +186,44 @@ class SearchEngine:
                             self._rewrite_prefixes(node.right))
         return node
 
-    def _idf_map(self, terms: set[str]) -> dict[str, float]:
-        if not terms:
+    def _scoring_pairs(self, node: P.Node) -> set[tuple[str, str]]:
+        """(field, term) pairs a plan can score — unscoped leaves expand
+        over the default field set."""
+        out: set[tuple[str, str]] = set()
+        if isinstance(node, P.Term):
+            out.update((f, node.term) for f in self._expand_fields(node.field))
+        elif isinstance(node, P.Phrase):
+            for t in node.terms:
+                out.update((f, t) for f in self._expand_fields(node.field))
+        elif isinstance(node, (P.And, P.Or)):
+            for c in node.children:
+                out |= self._scoring_pairs(c)
+        elif isinstance(node, P.AndNot):
+            out |= self._scoring_pairs(node.left) | self._scoring_pairs(node.right)
+        return out
+
+    def _idf_map(self, pairs: set[tuple[str, str]]) -> dict:
+        if not pairs:
             return {}
         if self._dict is not None:
-            tl, dfs = self._dict
             out = {}
-            for t in terms:
+            for f, t in pairs:
+                tl, dfs = self._dict.get(f, ([], np.zeros(0, np.int64)))
                 i = bisect.bisect_left(tl, t)
                 df = int(dfs[i]) if i < len(tl) and tl[i] == t else 0
-                out[t] = self.idf(df)
+                out[(f, t)] = self.idf(df)
             return out
-        rows = self._terms_df.filter(F.col("term").isin(list(terms))).collect()
-        dfs = {r["term"]: r["df"] for r in rows}
-        return {t: self.idf(dfs.get(t, 0)) for t in terms}
+        rows = self._terms_df.filter(
+            F.col("term").isin(list({t for _, t in pairs}))).collect()
+        dfs = {(r["field"], r["term"]): r["df"] for r in rows}
+        return {(f, t): self.idf(dfs.get((f, t), 0)) for f, t in pairs}
 
     # ---------------- search ----------------
 
     def search(self, query: str, k: int = P.PAGE_SIZE, page: int = 0,
                mode: str | None = None) -> list[tuple[str, float]]:
         ast = self._rewrite_prefixes(parse(query))
-        needed = P.scoring_terms(ast)
+        needed = self._scoring_pairs(ast)
         m = (page + 1) * k
         if not needed:
             return self._filter_only(ast, m)[page * k :]
@@ -168,12 +234,15 @@ class SearchEngine:
         return rows[page * k :]
 
     def _search_spark(self, ast, needed, m):
+        terms = list({t for _, t in needed})
+        flds = list({f for f, _ in needed})
         post = (
             self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
-            .filter(F.col("term").isin(list(needed)))
+            .filter(F.col("term").isin(terms) & F.col("field").isin(flds))
         )
         idf_map = self._idf_map(needed)
         avgdl, ub_scale = self.avgdl, self.ub_scale
+        weights, default_fields = self.field_weights, self.default_fields
         docs_root = os.path.join(self.index_dir, "docs")
         flat = _flat_terms(ast)
         if flat is None:
@@ -193,7 +262,8 @@ class SearchEngine:
             pdf = pdf[pdf["term"].notna()]
             docs_pdf = load_segment_docs(docs_root, seg)
             sd = SegmentData(pdf, docs_pdf)
-            ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale)
+            ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale,
+                                  weights, default_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
             else:
@@ -228,7 +298,8 @@ class SearchEngine:
         # stats since postings are term-sorted per file)
         all_pdf = pq.read_table(
             os.path.join(self.index_dir, "postings"),
-            filters=[("term", "in", list(needed))],
+            filters=[("term", "in", list({t for _, t in needed})),
+                     ("field", "in", list({f for f, _ in needed}))],
         ).to_pandas()
         if len(all_pdf):
             all_pdf["segment"] = all_pdf["segment"].astype(int)  # hive partition col is categorical
@@ -254,9 +325,11 @@ class SearchEngine:
             # segments shifts global avgdl without touching this
             # segment's mtime, and stale lower bounds would make pruning
             # inadmissible in a long-lived process (ADVICE r1)
+            avgdl_key = tuple(sorted(self.avgdl.items()))
             sd = SegmentData(pdf, docs_pdf,
-                             cache_key=(post_root, seg, mt, self.avgdl))
-            ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale)
+                             cache_key=(post_root, seg, mt, avgdl_key))
+            ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale,
+                                  self.field_weights, self.default_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
             else:
@@ -314,14 +387,17 @@ class SearchEngine:
     # ---------------- autocomplete ----------------
 
     def autocomplete(self, prefix: str, n: int = 20) -> list[tuple[str, int]]:
-        """Completion over the term dictionary, df-desc
+        """Completion over the default fields' term dictionaries, df-desc
         (reference: hayoo-server/src/Hayoo/App.hs:101-111)."""
         if self._dict is not None:
-            cands = self._dict_prefix_range(prefix)
+            cands = self._dict_prefix_range(prefix, self.default_fields)
             cands.sort(key=lambda kv: (-kv[1], kv[0]))
             return cands[:n]
         rows = (
-            self._terms_df.filter(F.col("term").startswith(prefix))
+            self._terms_df
+            .filter(F.col("field").isin(list(self.default_fields))
+                    & F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.sum("df").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(n)
             .collect()

@@ -131,6 +131,11 @@ def _parse_atom(toks: list[str]):
     if t.startswith('"'):
         words = t.strip('"').lower().split()
         return _maybe_boost(Phrase(tuple(words)), rest)
+    if t.startswith("!") and len(t) > 1:
+        # `!word` = case-sensitive exact term (App.hs:187-200); case is
+        # PRESERVED and the term targets the case-sensitive field
+        from .plan import CS_FIELD
+        return _maybe_boost(Term(t[1:], field=CS_FIELD), rest)
     if ":" in t and not t.startswith(":"):
         field, _, val = t.partition(":")
         field = field.lower()

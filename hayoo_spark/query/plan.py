@@ -30,6 +30,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 DEFAULT_FIELD = "text"
+# conventional name for the case-sensitive token field (the parser's
+# `!word` marker targets it; reference qWord/qFullWord case flavors,
+# hayoo-server/src/Hayoo/App.hs:187-200).  Indexes enable it by adding
+# FieldSpec(CS_FIELD, source="body_cs") to their schema.
+CS_FIELD = "text_cs"
 FILTER_FIELDS = ("lang", "url")
 RANGE_FIELDS = ("warc_ts",)
 MAX_EXPANSIONS = 64

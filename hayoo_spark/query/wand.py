@@ -45,10 +45,14 @@ _POSTINGS_CACHE_LOCK = threading.Lock()
 
 
 class SegmentDocs:
-    """Prepared (doc_id-ordered numpy) view of one segment's doc table."""
+    """Prepared (doc_id-ordered numpy) view of one segment's doc table.
+
+    ``dls`` holds one float64 document-length array per index field
+    (docs store one ``dl_<field>`` column per field — BM25F norms are
+    per field).  A plain ``dl`` column is accepted as field "text"."""
 
     __slots__ = ("n_docs", "urls", "langs", "langs_lc", "urls_lc",
-                 "warc_ts", "dl", "boost", "max_boost")
+                 "warc_ts", "dls", "boost", "max_boost")
 
     def __init__(self, pdf: pd.DataFrame):
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -62,7 +66,10 @@ class SegmentDocs:
         self.langs_lc = pdf["lang"].str.lower().to_numpy(object)
         self.urls_lc = pdf["url"].str.lower().to_numpy(object)
         self.warc_ts = pdf["warc_ts"].to_numpy()
-        self.dl = pdf["dl"].to_numpy(np.float64)
+        self.dls = {c[3:]: pdf[c].to_numpy(np.float64)
+                    for c in pdf.columns if c.startswith("dl_")}
+        if not self.dls and "dl" in pdf.columns:
+            self.dls = {"text": pdf["dl"].to_numpy(np.float64)}
         # per-document static weight (adWght analogue); absent on
         # indexes built before the column existed -> 1.0
         if "boost" in pdf.columns:
@@ -86,9 +93,11 @@ def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
         hit = _DOCS_CACHE.get(key)
     if hit is not None:
         return hit
-    cols = ["doc_id", "url", "lang", "warc_ts", "dl"]
-    if "boost" in pq.read_schema(
-            next(iter(_glob.glob(path + "/*.parquet")))).names:
+    names = pq.read_schema(
+        next(iter(_glob.glob(path + "/*.parquet")))).names
+    cols = ["doc_id", "url", "lang", "warc_ts"] + \
+        [c for c in names if c == "dl" or c.startswith("dl_")]
+    if "boost" in names:
         cols.append("boost")
     pdf = pq.read_table(path, columns=cols).to_pandas()
     sd = SegmentDocs(pdf)
@@ -115,28 +124,33 @@ class SegmentData:
         self.langs_lc = docs.langs_lc
         self.urls_lc = docs.urls_lc
         self.warc_ts = docs.warc_ts
-        self.dl = docs.dl
+        self.dls = docs.dls
         self.boost = docs.boost
         self.max_boost = docs.max_boost
         self._cache_key = cache_key
-        self._raw: dict[str, list] = {}
+        # posting lists are keyed (field, term); a postings frame with
+        # no field column (single-field layout) is keyed field "text"
+        self._raw: dict[tuple[str, str], list] = {}
+        has_field = "field" in postings_pdf.columns
         for row in postings_pdf.itertuples(index=False):
-            self._raw.setdefault(row.term, []).append(row)
-        self._decoded: dict[str, tuple] = {}
+            f = row.field if has_field else "text"
+            self._raw.setdefault((f, row.term), []).append(row)
+        self._decoded: dict[tuple, tuple] = {}
 
-    def postings(self, term: str):
+    def postings(self, field: str, term: str):
         """(doc_ids int64 sorted, tfs int64, block_last, block_ub) —
         salted sub-lists merged (disjoint doc sets -> concat + sort)."""
-        if term in self._decoded:
-            return self._decoded[term]
-        gkey = self._cache_key + (term,) if self._cache_key else None
+        tkey = (field, term)
+        if tkey in self._decoded:
+            return self._decoded[tkey]
+        gkey = self._cache_key + tkey if self._cache_key else None
         if gkey:
             with _POSTINGS_CACHE_LOCK:
                 hit = _POSTINGS_CACHE.get(gkey)
             if hit is not None:
-                self._decoded[term] = hit
+                self._decoded[tkey] = hit
                 return hit
-        rows = self._raw.get(term)
+        rows = self._raw.get(tkey)
         if not rows:
             out = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                    np.zeros(0, np.int64), np.zeros(0, np.float64))
@@ -160,9 +174,10 @@ class SegmentData:
             tfs = np.concatenate(tfs_l)
             order = np.argsort(ids, kind="stable")
             ids, tfs = ids[order], tfs[order]
-            blast, bub = codec.block_maxes(ids, tfs, self.dl[ids], self._avgdl)
+            blast, bub = codec.block_maxes(ids, tfs, self.dls[field][ids],
+                                           self._avgdl[field])
             out = (ids, tfs, blast, bub)
-        self._decoded[term] = out
+        self._decoded[tkey] = out
         if gkey:
             with _POSTINGS_CACHE_LOCK:
                 if len(_POSTINGS_CACHE) >= _POSTINGS_CACHE_MAX:
@@ -170,15 +185,15 @@ class SegmentData:
                 _POSTINGS_CACHE[gkey] = out
         return out
 
-    def _pos_index(self, term: str):
+    def _pos_index(self, field: str, term: str):
         """Per-sub-list position storage: (ids, flat_positions, offsets).
         The flat varbyte buffer is decoded ONCE (vectorized); per-doc
         slices are cut on demand — no per-doc Python decode loop."""
-        key = ("pos", term)
+        key = ("pos", field, term)
         if key in self._decoded:
             return self._decoded[key]
         subs = []
-        for r in self._raw.get(term, []):
+        for r in self._raw.get((field, term), []):
             ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
             flat = codec.varbyte_decode(r.pos_vb)
             offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
@@ -186,12 +201,12 @@ class SegmentData:
         self._decoded[key] = subs
         return subs
 
-    def positions_flat(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+    def positions_flat(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_rep, abs_pos) — every occurrence of the term in the
         segment as parallel arrays.  Segmented delta->absolute decode is
         a single global cumsum with per-doc base correction: zero
         per-doc Python."""
-        key = ("posflat", term)
+        key = ("posflat", field, term)
         if key in self._decoded:
             return self._decoded[key]
         gkey = self._cache_key + key if self._cache_key else None
@@ -202,7 +217,7 @@ class SegmentData:
                 self._decoded[key] = hit
                 return hit
         doc_parts, pos_parts = [], []
-        for ids, flat, offs in self._pos_index(term):
+        for ids, flat, offs in self._pos_index(field, term):
             if len(flat) == 0:
                 continue
             g = np.cumsum(flat.astype(np.int64))
@@ -223,14 +238,15 @@ class SegmentData:
                 _POSTINGS_CACHE[gkey] = out
         return out
 
-    def term_scores(self, term: str, idf: float):
+    def term_scores(self, field: str, term: str, idf: float):
         """Per-posting scores incl. the per-document static boost
-        (score = query_boost x idf x tf_norm x doc_boost, SURVEY §2.6)."""
-        ids, tfs, _, _ = self.postings(term)
-        norms = codec.tf_norm(tfs, self.dl[ids], self._avgdl)
+        (score = query_boost x field_weight x idf x tf_norm x doc_boost,
+        SURVEY §2.6 / BM25F) — field weight applied by the caller."""
+        ids, tfs, _, _ = self.postings(field, term)
+        norms = codec.tf_norm(tfs, self.dls[field][ids], self._avgdl[field])
         return ids, idf * norms * self.boost[ids]
 
-    _avgdl = 1.0  # set by evaluator
+    _avgdl: dict = {"text": 1.0}  # set by evaluator (field -> avgdl)
 
 
 def _flat_terms(node: P.Node):
@@ -250,26 +266,66 @@ def _flat_terms(node: P.Node):
     return None
 
 
+def _union_sum(all_ids: list, all_sc: list):
+    """Union doc-id lists, summing scores (vectorized OR combine)."""
+    cat = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
+    if cat.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0)
+    uniq, inv = np.unique(cat, return_inverse=True)
+    acc = np.zeros(len(uniq))
+    np.add.at(acc, inv, np.concatenate(all_sc))
+    return uniq.astype(np.int64), acc
+
+
 class SegmentEvaluator:
-    def __init__(self, seg: SegmentData, idf: dict[str, float], avgdl: float,
-                 ub_scale: float = 1.0):
+    """Field-aware DAAT evaluation (BM25F): an unscoped term scores the
+    union of default fields, ``field:term`` scores one field, and every
+    contribution is scaled by the field's schema weight (weight 0 =
+    match-only, the reference's filter contexts)."""
+
+    def __init__(self, seg: SegmentData, idf: dict, avgdl,
+                 ub_scale: float = 1.0, weights: dict | None = None,
+                 default_fields: tuple[str, ...] = ("text",)):
         self.seg = seg
+        # single-field back-compat: scalar avgdl / str-keyed idf maps
+        if not isinstance(avgdl, dict):
+            avgdl = {f: avgdl for f in (seg.dls or {"text": None})}
+        if idf and not isinstance(next(iter(idf)), tuple):
+            idf = {("text", t): v for t, v in idf.items()}
         self.idf = idf
         seg._avgdl = avgdl
         self.avgdl = avgdl
+        self.weights = weights if weights is not None else \
+            {f: 1.0 for f in avgdl}
+        self.default_fields = tuple(
+            f for f in default_fields if f in self.weights)
         # admissibility factor for stored block bounds when corpus stats
         # moved since encode (incremental updates); 1.0 for fresh builds
         self.ub_scale = ub_scale
 
     # ---------- generic exhaustive evaluation (full query surface) ----------
 
+    def _default_term(self, term: str, boost: float):
+        parts_ids, parts_sc = [], []
+        for f in self.default_fields:
+            ids, sc = self.seg.term_scores(f, term,
+                                           self.idf.get((f, term), 0.0))
+            if ids.size:
+                parts_ids.append(ids)
+                parts_sc.append(boost * self.weights[f] * sc)
+        return _union_sum(parts_ids, parts_sc)
+
     def evaluate(self, node: P.Node):
         """-> (doc_ids int64 sorted asc, scores float64)."""
         s = self.seg
         if isinstance(node, P.Term):
             if node.field == P.DEFAULT_FIELD:
-                ids, sc = s.term_scores(node.term, self.idf.get(node.term, 0.0))
-                return ids, node.boost * sc
+                return self._default_term(node.term, node.boost)
+            if node.field in self.weights:
+                ids, sc = s.term_scores(
+                    node.field, node.term,
+                    self.idf.get((node.field, node.term), 0.0))
+                return ids, node.boost * self.weights[node.field] * sc
             if node.field == "lang":
                 ids = np.flatnonzero(s.langs_lc == node.term).astype(np.int64)
                 return ids, np.zeros(len(ids))
@@ -301,13 +357,7 @@ class SegmentEvaluator:
                 cids, csc = self.evaluate(c)
                 all_ids.append(cids)
                 all_sc.append(csc)
-            cat = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
-            if cat.size == 0:
-                return np.zeros(0, np.int64), np.zeros(0)
-            uniq, inv = np.unique(cat, return_inverse=True)
-            acc = np.zeros(len(uniq))
-            np.add.at(acc, inv, np.concatenate(all_sc))
-            return uniq.astype(np.int64), acc
+            return _union_sum(all_ids, all_sc)
         if isinstance(node, P.AndNot):
             lids, lsc = self.evaluate(node.left)
             rids, _ = self.evaluate(node.right)
@@ -316,13 +366,25 @@ class SegmentEvaluator:
         raise TypeError(f"unknown node {node!r}")
 
     def _eval_phrase(self, node: P.Phrase):
+        """Phrase over the default field set: adjacency is evaluated
+        WITHIN each field (a phrase cannot span fields); a doc's score
+        sums the weighted contributions of every field it matched in."""
+        parts_ids, parts_sc = [], []
+        for f in self.default_fields:
+            ids, sc = self._eval_phrase_field(node, f)
+            if ids.size:
+                parts_ids.append(ids)
+                parts_sc.append(sc)
+        return _union_sum(parts_ids, parts_sc)
+
+    def _eval_phrase_field(self, node: P.Phrase, field: str):
         s = self.seg
         if not node.terms:
             return np.zeros(0, np.int64), np.zeros(0)
-        ids0, _, _, _ = s.postings(node.terms[0])
+        ids0, _, _, _ = s.postings(field, node.terms[0])
         cand = ids0
         for t in node.terms[1:]:
-            tids, _, _, _ = s.postings(t)
+            tids, _, _, _ = s.postings(field, t)
             cand = np.intersect1d(cand, tids, assume_unique=True)
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0)
@@ -331,7 +393,7 @@ class SegmentEvaluator:
         # key appears for every member term
         keys = None
         for i, t in enumerate(node.terms):
-            docs_r, pos_r = s.positions_flat(t)
+            docs_r, pos_r = s.positions_flat(field, t)
             if i == 0:
                 mask = np.isin(docs_r, cand, assume_unique=False)
             else:
@@ -343,64 +405,76 @@ class SegmentEvaluator:
                 return np.zeros(0, np.int64), np.zeros(0)
         ids = np.unique(keys // np.int64(1 << 32)).astype(np.int64)
         sc = np.zeros(len(ids))
+        w = self.weights[field]
         for t in node.terms:
-            tids, tsc = s.term_scores(t, self.idf.get(t, 0.0))
+            tids, tsc = s.term_scores(field, t, self.idf.get((field, t), 0.0))
             _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
                                        return_indices=True)
             add = np.zeros(len(ids))
             add[ia] = tsc[ib]
-            sc = sc + node.boost * add
+            sc = sc + node.boost * w * add
         return ids, sc
 
     # ---------- block-max pruned top-m (flat term queries) ----------
 
     def top_m_pruned(self, kind: str, leaves: list[tuple[str, float]], m: int):
-        """Exact top-m for flat OR/AND of terms using block upper bounds.
+        """Exact top-m for flat OR/AND of unscoped terms using block
+        upper bounds.  Each term expands over the default field set
+        (BM25F), so a leaf becomes one posting list per (field, term).
 
         OR: elementary-interval pruning best-bound-first (block-max WAND
-        semantics, batch form).  AND: sorted-array intersection (already
-        sublinear), then exact scoring.
+        semantics, batch form).  AND: a doc matches a term if it occurs
+        in ANY default field — per-term field-union, intersect across
+        terms (already sublinear), then exact scoring.
         """
         s = self.seg
         if kind == "and":
             ids = None
             for t, _ in leaves:
-                tids, _, _, _ = s.postings(t)
-                ids = tids if ids is None else np.intersect1d(ids, tids, assume_unique=True)
+                f_ids = [s.postings(f, t)[0] for f in self.default_fields]
+                tids = (f_ids[0] if len(f_ids) == 1
+                        else np.unique(np.concatenate(f_ids)))
+                ids = tids if ids is None else np.intersect1d(
+                    ids, tids, assume_unique=True)
                 if ids.size == 0:
                     break
             if ids is None or ids.size == 0:
                 return np.zeros(0, np.int64), np.zeros(0)
             sc = np.zeros(len(ids))
             for t, boost in leaves:
-                tids, tsc = s.term_scores(t, self.idf.get(t, 0.0))
-                _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
-                                           return_indices=True)
-                sc[ia] += boost * tsc[ib]
+                for f in self.default_fields:
+                    tids, tsc = s.term_scores(f, t, self.idf.get((f, t), 0.0))
+                    _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
+                                               return_indices=True)
+                    sc[ia] += boost * self.weights[f] * tsc[ib]
             return self._cut(ids, sc, m)
 
-        # many-term ORs (prefix expansions): interval pruning costs
-        # O(intervals × terms) of small python-numpy calls and the summed
+        # fielded leaves: (field, term, effective boost)
+        fl = [(f, t, b * self.weights[f])
+              for t, b in leaves for f in self.default_fields]
+
+        # many-list ORs (prefix expansions): interval pruning costs
+        # O(intervals × lists) of small python-numpy calls and the summed
         # bound is too loose to prune anyway — the one-pass vectorized
         # union (concat -> unique -> bincount) wins outright
-        if len(leaves) > 8:
+        if len(fl) > 8:
             node = P.Or(tuple(P.Term(t, boost=b) for t, b in leaves))
             ids, sc = self.evaluate(node)
             return self._cut(ids, sc, m)
 
         # OR: build elementary intervals from the union of block boundaries
-        terms = [(t, b, *s.postings(t)) for t, b in leaves]
-        terms = [t for t in terms if t[2].size > 0]
+        terms = [(f, t, b, *s.postings(f, t)) for f, t, b in fl]
+        terms = [t for t in terms if t[3].size > 0]
         if not terms:
             return np.zeros(0, np.int64), np.zeros(0)
-        bounds = np.unique(np.concatenate([t[4] for t in terms]))  # block_last unions
-        # per interval upper bound = sum over terms of covering block ub
+        bounds = np.unique(np.concatenate([t[5] for t in terms]))  # block_last unions
+        # per interval upper bound = sum over lists of covering block ub
         iv_ub = np.zeros(len(bounds))
         # bounds scaled by both the stats-drift factor and the segment's
         # max doc boost so pruning stays admissible under boosted scores
         bscale = self.ub_scale * s.max_boost
-        for t, boost, ids, tfs, blast, bub in terms:
-            idf = self.idf.get(t, 0.0)
+        for f, t, boost, ids, tfs, blast, bub in terms:
+            idf = self.idf.get((f, t), 0.0)
             cover = np.searchsorted(blast, bounds, side="left")
             valid = cover < len(blast)
             iv_ub[valid] += boost * idf * bscale * bub[cover[valid]]
@@ -416,23 +490,21 @@ class SegmentEvaluator:
             lo = bounds[oi - 1] + 1 if oi > 0 else 0
             hi = bounds[oi]
             iv_cat_ids, iv_cat_sc = [], []
-            for t, boost, ids, tfs, blast, bub in terms:
+            for f, t, boost, ids, tfs, blast, bub in terms:
                 a = np.searchsorted(ids, lo, side="left")
                 b = np.searchsorted(ids, hi, side="right")
                 if a == b:
                     continue
                 sl_ids = ids[a:b]
-                norms = codec.tf_norm(tfs[a:b], s.dl[sl_ids], self.avgdl)
+                norms = codec.tf_norm(tfs[a:b], s.dls[f][sl_ids],
+                                      self.avgdl[f])
                 iv_cat_ids.append(sl_ids)
                 iv_cat_sc.append(
-                    boost * self.idf.get(t, 0.0) * norms * s.boost[sl_ids])
+                    boost * self.idf.get((f, t), 0.0) * norms * s.boost[sl_ids])
             if not iv_cat_ids:
                 continue
-            cat = np.concatenate(iv_cat_ids)
-            uniq, inv = np.unique(cat, return_inverse=True)
-            acc = np.zeros(len(uniq))
-            np.add.at(acc, inv, np.concatenate(iv_cat_sc))
-            top_ids.append(uniq.astype(np.int64))
+            uniq, acc = _union_sum(iv_cat_ids, iv_cat_sc)
+            top_ids.append(uniq)
             top_sc.append(acc)
             count += len(uniq)
             if count >= m:

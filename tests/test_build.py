@@ -23,7 +23,7 @@ def _snapshot(spark, ix):
     )
     docs = (
         spark.read.parquet(f"{ix}/docs")
-        .select("segment", "doc_id", "url", "dl")
+        .select("segment", "doc_id", "url", "dl_text")
         .orderBy("segment", "doc_id")
         .toPandas()
     )

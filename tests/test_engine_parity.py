@@ -56,4 +56,6 @@ def test_autocomplete_parity(engine, oracle_ix):
 
 def test_stats_match_oracle(engine, oracle_ix):
     assert engine.n_docs == oracle_ix.n_docs
-    assert np.isclose(engine.avgdl, oracle_ix.avgdl)
+    assert set(engine.avgdl) == set(oracle_ix.avgdl)
+    for f in engine.avgdl:
+        assert np.isclose(engine.avgdl[f], oracle_ix.avgdl[f])

@@ -86,12 +86,12 @@ def test_salted_merge_matches_single_list():
     """Term 'alpha' is stored as 2 salted sub-lists; decoded postings must
     be one sorted list with rebuilt block metadata."""
     ev, terms = make_segment()
-    ids, tfs, blast, bub = ev.seg.postings("alpha")
+    ids, tfs, blast, bub = ev.seg.postings("text", "alpha")
     assert np.all(np.diff(ids) > 0)
     assert np.all(np.diff(blast) > 0)
     bs = codec.BLOCK_SIZE  # merged lists are re-blocked at the default size
     assert len(bub) == (len(ids) + bs - 1) // bs
-    norms = codec.tf_norm(tfs, ev.seg.dl[ids], ev.avgdl)
+    norms = codec.tf_norm(tfs, ev.seg.dls["text"][ids], ev.avgdl["text"])
     for b in range(len(bub)):
         s, e = b * bs, min((b + 1) * bs, len(ids))
         assert np.isclose(bub[b], norms[s:e].max())
