@@ -242,13 +242,16 @@ def d_ngram_jaccard(spark, sf_dir):
 
 
 def d_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-verified (rows-only check:
-    LSH recall is probabilistic, so no SQL twin is claimed)."""
+    """MinHash+LSH near-dup candidates, exact-verified.  Every hash in
+    the pipeline (shingle base hash, band buckets) is md5-derived, so
+    the full LSH candidate generation + verify has an exact DuckDB
+    twin — the probabilistic recall is identical on both engines."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
 def d_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    """SimHash near-dup pairs (56-bit md5-derived signatures, banded
+    candidate generation) — exact DuckDB twin."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
@@ -267,7 +270,9 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 def sim_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (rows-only: approximate by design)."""
+    """LSH-bucketed ANN top-k.  Approximate by design, but deterministic
+    given the seeded hyperplanes — the DuckDB twin embeds the same plane
+    literals and reproduces bucket choice + multiprobe exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     out = similarity.lsh_cosine_topk(emb, list(qvec), k=10, bits=6, multiprobe=2)
@@ -500,6 +505,9 @@ FROM sess GROUP BY user_id"""
 SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text)"""
     sql["d_ngram_jaccard"] = _jaccard_sql(0.2)
+    sql["d_minhash_lsh"] = _minhash_lsh_sql(threshold=0.2)
+    sql["d_simhash"] = _simhash_sql(max_hamming=6)
+    sql["sim_lsh_topk"] = _lsh_topk_sql(dim=64, bits=6, multiprobe=2, k=10)
     sql["d_embed_neardup"] = """
 WITH expl AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -559,6 +567,150 @@ SELECT id_a, id_b,
          AS jaccard_x1e4
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= {threshold}"""
+
+
+_SHINGLE_CTES = f"""
+f AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                             x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN array_to_string(toks[i:i+2], ' ')
+                ELSE array_to_string(toks, ' ') END AS shingle
+    FROM f, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+                     THEN range(1, len(toks) - 1)
+                     ELSE [1] END) AS i))
+  WHERE length(shingle) > 0)"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.2, num_hashes: int = 32,
+                     bands: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: same md5-derived base
+    hash, same seeded affine permutations, same band-bucket md5 hash —
+    LSH recall is bit-identical across engines."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    p = (1 << 31) - 1
+    coef = [(int(rng.randint(1, 1 << 15)), int(rng.randint(0, 1 << 31)))
+            for _ in range(num_hashes)]
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(coef))
+    band_selects = []
+    for b in range(bands):
+        cat = " || ',' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"('0x' || substr(md5('band_{b}_' || {cat}), 1, 14))::BIGINT AS bucket "
+            f"FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTES},
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 14))::BIGINT % {p} AS hv
+      FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands_sql}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ix
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+       CAST(ROUND(ix * 1.0 / (sa.sz + sb.sz - ix) * 10000) AS BIGINT)
+         AS jaccard_x1e4
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 6) -> str:
+    """DuckDB twin of dedup.simhash_pairs (56-bit md5-derived
+    signatures, integer ±tf bit-plane sums, banded candidates)."""
+    from hayoo_spark.ops.dedup import SIMHASH_BITS, simhash_band_edges
+    edges = simhash_band_edges(max_hamming)
+    band_selects = []
+    for b in range(max_hamming + 1):
+        mask = (1 << (edges[b + 1] - edges[b])) - 1
+        band_selects.append(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"((simhash >> {edges[b]}) & {mask}) AS bucket FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(term), 1, 14))::BIGINT AS h
+      FROM tf),
+planes AS (
+  SELECT doc_id, r.b,
+         sum(CASE WHEN (h >> r.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN range({SIMHASH_BITS}) r(b)
+  GROUP BY doc_id, r.b),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM planes GROUP BY doc_id),
+bands AS ({bands_sql}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+                  b.doc_id AS id_b, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""
+
+
+def _lsh_topk_sql(dim: int = 64, bits: int = 6, seed: int = 42,
+                  multiprobe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of similarity.lsh_cosine_topk: the seeded hyperplanes
+    are embedded as literals, bucket choice + multiprobe (flip the
+    least-confident sign bit) reproduce the Spark plan exactly."""
+    from hayoo_spark.ops.similarity import hyperplanes
+    planes = hyperplanes(dim, bits, seed)
+    vals = ",\n  ".join(
+        f"({i}, {j + 1}, {planes[i, j]!r})"
+        for i in range(bits) for j in range(dim))
+    return f"""
+WITH p(i, j, w) AS (VALUES
+  {vals}),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+proj AS (SELECT vec_id, i, sum(x * w) AS pr
+         FROM e JOIN p USING (j) GROUP BY vec_id, i),
+bkt AS (SELECT vec_id,
+               sum(CASE WHEN pr >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+qp AS (SELECT i, pr FROM proj WHERE vec_id = 0),
+qs AS (SELECT sum(CASE WHEN pr >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS s
+       FROM qp),
+flip AS (SELECT i FROM qp ORDER BY abs(pr), i LIMIT {max(multiprobe - 1, 0)}),
+probes AS (SELECT s AS b FROM qs
+           UNION ALL SELECT xor(qs.s, (1::BIGINT << flip.i)) FROM qs, flip),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+expl AS (SELECT em.vec_id, unnest(em.embedding)::DOUBLE AS x,
+                unnest(q.qv)::DOUBLE AS y
+         FROM embeddings em
+         JOIN bkt ON bkt.vec_id = em.vec_id
+         CROSS JOIN q
+         WHERE bkt.bucket IN (SELECT b FROM probes)),
+dots AS (SELECT vec_id, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+         FROM expl GROUP BY vec_id)
+SELECT vec_id, CAST(ROUND(dot/(na*nb) * 1000000) AS BIGINT) AS cos_x1e6
+FROM dots ORDER BY dot/(na*nb) DESC, vec_id LIMIT {k}"""
 
 
 def _quality_sql() -> str:

@@ -74,6 +74,9 @@ POSTINGS_SCHEMA = StructType([
     StructField("pos_vb", BinaryType()),
     StructField("block_last", ArrayType(LongType())),
     StructField("block_ub", ArrayType(DoubleType())),
+    # byte offset of each block's first doc within pos_vb: selective
+    # position decode for phrase queries (decode candidate blocks only)
+    StructField("block_pos_off", ArrayType(LongType())),
     StructField("max_ub", DoubleType()),
 ])
 
@@ -89,6 +92,7 @@ ENCODE_SCHEMA = StructType([
     StructField("pos_vb", BinaryType()),
     StructField("block_last", ArrayType(LongType())),
     StructField("block_ub", ArrayType(DoubleType())),
+    StructField("block_pos_off", ArrayType(LongType())),
     StructField("max_ub", DoubleType()),
 ])
 
@@ -272,14 +276,18 @@ def _encode_factory(avgdls: list[float], block_size: int):
             (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])) + 1
         g_starts = np.concatenate(([0], key_change))
         g_ends = np.concatenate((key_change, [n]))
+        pvb_len = np.fromiter((len(x) for x in pvb), np.int64, n)
         out = {k: [] for k in ("segment", "term_h", "salt", "df", "cf", "ids_vb",
                                "tfs_vb", "pos_vb", "block_last", "block_ub",
-                               "max_ub")}
+                               "block_pos_off", "max_ub")}
         for s, e in zip(g_starts, g_ends):
             ids = docs[s:e]
             tfs = tfs_all[s:e]
             last, ub = codec.block_maxes(ids, tfs, dls[s:e],
                                          avgdls[fks[s]], block_size)
+            # block b's positions start at the cumulative byte length of
+            # the preceding docs' buffers (blocks split on doc bounds)
+            cum = np.concatenate(([0], np.cumsum(pvb_len[s:e])))
             out["segment"].append(seg)
             out["term_h"].append(int(codes[s]))
             out["salt"].append(int(salts[s]))
@@ -291,6 +299,8 @@ def _encode_factory(avgdls: list[float], block_size: int):
             out["pos_vb"].append(b"".join(pvb[s:e]))
             out["block_last"].append(last.tolist())
             out["block_ub"].append(ub.tolist())
+            out["block_pos_off"].append(
+                cum[: e - s : block_size].tolist())
             out["max_ub"].append(float(ub.max()) if len(ub) else 0.0)
         return pd.DataFrame(out)
 

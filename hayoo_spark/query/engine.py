@@ -245,7 +245,10 @@ class SearchEngine:
         weights, default_fields = self.field_weights, self.default_fields
         docs_root = os.path.join(self.index_dir, "docs")
         flat = _flat_terms(ast)
-        if flat is None:
+        # a bare phrase is segment-prunable like a flat query (every
+        # term must be present) and has its own bound-ordered evaluator
+        is_phrase = isinstance(ast, P.Phrase)
+        if flat is None and not is_phrase:
             # non-flat ASTs can hold filter-only branches (lang:/url:/
             # range) whose matches live in segments holding NONE of the
             # scoring terms' postings; a groupBy over the term-filtered
@@ -266,6 +269,8 @@ class SearchEngine:
                                   weights, default_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
+            elif is_phrase:
+                ids, sc = ev.top_m_phrase(ast, m)
             else:
                 ids, sc = ev.evaluate(ast)
                 order = np.lexsort((sd.urls[ids], -sc))[:m]
@@ -306,14 +311,16 @@ class SearchEngine:
             by_seg = {int(k): v for k, v in all_pdf.groupby("segment")}
         else:
             by_seg = {}
-        segs = list(by_seg) if flat is not None else self._segments
+        is_phrase = isinstance(ast, P.Phrase)
+        prunable = flat is not None or is_phrase
+        segs = list(by_seg) if prunable else self._segments
 
         post_root = os.path.join(self.index_dir, "postings")
 
         def one_segment(seg):
             pdf = by_seg.get(seg)
             if pdf is None:
-                if flat is not None:
+                if prunable:
                     return None
                 pdf = all_pdf.iloc[0:0]
             docs_pdf = load_segment_docs(docs_root, seg)
@@ -332,6 +339,8 @@ class SearchEngine:
                                   self.field_weights, self.default_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
+            elif is_phrase:
+                ids, sc = ev.top_m_phrase(ast, m)
             else:
                 ids, sc = ev.evaluate(ast)
                 order = np.lexsort((sd.urls[ids], -sc))[:m]
@@ -351,6 +360,62 @@ class SearchEngine:
         scores = np.asarray(out_scores, dtype=np.float64)
         order = np.lexsort((urls, -scores))[:m]
         return [(urls[i], float(scores[i])) for i in order]
+
+    # ---------------- stored-field projection (Q12) ----------------
+
+    def search_docs(self, query: str, k: int = P.PAGE_SIZE, page: int = 0,
+                    mode: str | None = None,
+                    fields: tuple[str, ...] = ("lang", "warc_ts"),
+                    ) -> list[dict]:
+        """Search + stored-field projection: each hit carries the
+        requested doc-store columns (url/score always included) — the
+        reference's description map + ``setSelectedFields``
+        (hayooIndexer/src/Hayoo/Hunt/FctRankTable.hs:62-66, Q12).
+
+        The doc join touches ONLY the top-k hits: local mode binary-
+        searches the per-segment doc arrays (urls are doc_id-ordered ==
+        url-ascending by construction); spark mode pushes an `url IN
+        (k urls)` filter into the docs parquet scan (broadcast-size)."""
+        hits = self.search(query, k=k, page=page, mode=mode)
+        if not hits:
+            return []
+        docs_root = os.path.join(self.index_dir, "docs")
+        meta: dict[str, dict] = {}
+        if (mode or self.mode) == "local":
+            urls = [u for u, _ in hits]
+            for seg in self._segments:
+                sd = load_segment_docs(docs_root, seg)
+                if not sd.n_docs:
+                    continue
+                idx = np.searchsorted(sd.urls, urls)
+                for u, j in zip(urls, idx):
+                    if j < sd.n_docs and sd.urls[j] == u and u not in meta:
+                        meta[u] = self._project_row(sd, int(j), fields)
+        else:
+            rows = (
+                self.spark.read.parquet(docs_root)
+                .filter(F.col("url").isin([u for u, _ in hits]))
+                .select("url", *fields)
+                .collect()
+            )
+            meta = {r["url"]: {f: r[f] for f in fields} for r in rows}
+        return [{"url": u, "score": s, **meta.get(u, {})} for u, s in hits]
+
+    @staticmethod
+    def _project_row(sd, j: int, fields: tuple[str, ...]) -> dict:
+        out = {}
+        for f in fields:
+            if f == "lang":
+                out[f] = sd.langs[j]
+            elif f == "warc_ts":
+                out[f] = sd.warc_ts[j]
+            elif f == "boost":
+                out[f] = float(sd.boost[j])
+            elif f.startswith("dl_") and f[3:] in sd.dls:
+                out[f] = int(sd.dls[f[3:]][j])
+            else:
+                raise KeyError(f"unknown stored field {f!r}")
+        return out
 
     def _filter_only(self, ast: P.Node, m: int) -> list[tuple[str, float]]:
         """Queries with no scoring leaves (pure lang:/url:/range filters):
@@ -383,6 +448,15 @@ class SearchEngine:
                 return None
             return left & ~right
         return None
+
+    def search_canned(self, name: str, params: dict | None = None,
+                      k: int = P.PAGE_SIZE, page: int = 0,
+                      mode: str | None = None) -> list[tuple[str, float]]:
+        """Q14 drill-down: render a canned template (query/canned.py)
+        and run it through the normal planner."""
+        from . import canned
+        return self.search(canned.render(name, **(params or {})),
+                           k=k, page=page, mode=mode)
 
     # ---------------- autocomplete ----------------
 

@@ -238,6 +238,56 @@ class SegmentData:
                 _POSTINGS_CACHE[gkey] = out
         return out
 
+    def positions_for(self, field: str, term: str, cand: np.ndarray):
+        """(doc_rep, abs_pos) restricted to candidate doc ids.
+
+        Decodes ONLY the position blocks containing candidates using the
+        stored per-block byte offsets (``block_pos_off``) — a phrase
+        over selective terms touches a handful of blocks instead of the
+        term's whole position stream.  Rows lacking the offsets (legacy
+        layout / synthetic fixtures) fall back to a full decode."""
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        doc_parts, pos_parts = [], []
+        for r in self._raw.get((field, term), []):
+            ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
+            ids = ids.astype(np.int64)
+            tfs = tfs.astype(np.int64)
+            present_mask = np.isin(ids, cand, assume_unique=True)
+            if not present_mask.any():
+                continue
+            off = getattr(r, "block_pos_off", None)
+            blast = np.asarray(r.block_last, np.int64)
+            if off is not None and len(off) == len(blast):
+                off = np.asarray(off, np.int64)
+                buf = bytes(r.pos_vb)
+                ends = np.concatenate((off[1:], [len(buf)]))
+                # block index boundaries in posting order
+                bstarts = np.concatenate(
+                    ([0], np.searchsorted(ids, blast, side="right")))
+                blocks = np.unique(
+                    np.searchsorted(blast, ids[present_mask], side="left"))
+                sel = b"".join(buf[off[b]:ends[b]] for b in blocks)
+                sel_idx = np.concatenate(
+                    [np.arange(bstarts[b], bstarts[b + 1]) for b in blocks])
+                s_ids, s_tfs = ids[sel_idx], tfs[sel_idx]
+                flat = codec.varbyte_decode(sel)
+            else:
+                s_ids, s_tfs = ids, tfs
+                flat = codec.varbyte_decode(r.pos_vb)
+            # segmented delta->absolute: global cumsum minus the running
+            # base at each doc start (spans are independent per doc)
+            offs = np.concatenate(([0], np.cumsum(s_tfs)))
+            g = np.cumsum(flat.astype(np.int64))
+            prev = np.where(offs[:-1] > 0, g[np.maximum(offs[:-1] - 1, 0)], 0)
+            abs_pos = g - np.repeat(prev, s_tfs)
+            keep = np.isin(s_ids, cand, assume_unique=True)
+            doc_parts.append(np.repeat(s_ids[keep], s_tfs[keep]))
+            pos_parts.append(abs_pos[np.repeat(keep, s_tfs)])
+        if doc_parts:
+            return np.concatenate(doc_parts), np.concatenate(pos_parts)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
     def term_scores(self, field: str, term: str, idf: float):
         """Per-posting scores incl. the per-document static boost
         (score = query_boost x field_weight x idf x tf_norm x doc_boost,
@@ -377,33 +427,48 @@ class SegmentEvaluator:
                 parts_sc.append(sc)
         return _union_sum(parts_ids, parts_sc)
 
+    def _phrase_cand(self, terms: tuple[str, ...], field: str) -> np.ndarray:
+        """Docs containing every phrase term in `field` (posting-list
+        intersection — no position decode)."""
+        cand = None
+        for t in terms:
+            tids, _, _, _ = self.seg.postings(field, t)
+            cand = tids if cand is None else np.intersect1d(
+                cand, tids, assume_unique=True)
+            if cand.size == 0:
+                break
+        return cand if cand is not None else np.zeros(0, np.int64)
+
+    def _phrase_match_docs(self, terms: tuple[str, ...], field: str,
+                           cand: np.ndarray) -> np.ndarray:
+        """Subset of `cand` where the terms are ADJACENT in `field`.
+
+        Fully vectorized: encode each occurrence of term i as key =
+        doc * 2^32 + (pos - i); a phrase start survives iff its key
+        appears for every member term.  Position decode is selective —
+        only blocks containing `cand` docs are touched."""
+        if cand.size == 0:
+            return np.zeros(0, np.int64)
+        keys = None
+        for i, t in enumerate(terms):
+            docs_r, pos_r = self.seg.positions_for(field, t, cand)
+            if i > 0:
+                mask = pos_r >= i
+                docs_r, pos_r = docs_r[mask], pos_r[mask]
+            k = np.unique(docs_r * np.int64(1 << 32) + (pos_r - i))
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if keys.size == 0:
+                return np.zeros(0, np.int64)
+        return np.unique(keys // np.int64(1 << 32)).astype(np.int64)
+
     def _eval_phrase_field(self, node: P.Phrase, field: str):
         s = self.seg
         if not node.terms:
             return np.zeros(0, np.int64), np.zeros(0)
-        ids0, _, _, _ = s.postings(field, node.terms[0])
-        cand = ids0
-        for t in node.terms[1:]:
-            tids, _, _, _ = s.postings(field, t)
-            cand = np.intersect1d(cand, tids, assume_unique=True)
-        if cand.size == 0:
+        cand = self._phrase_cand(node.terms, field)
+        ids = self._phrase_match_docs(node.terms, field, cand)
+        if ids.size == 0:
             return np.zeros(0, np.int64), np.zeros(0)
-        # fully vectorized adjacency: encode each occurrence of term i as
-        # key = doc * 2^32 + (pos - i); a phrase start survives iff its
-        # key appears for every member term
-        keys = None
-        for i, t in enumerate(node.terms):
-            docs_r, pos_r = s.positions_flat(field, t)
-            if i == 0:
-                mask = np.isin(docs_r, cand, assume_unique=False)
-            else:
-                mask = np.isin(docs_r, cand) & (pos_r >= i)
-            k = docs_r[mask] * np.int64(1 << 32) + (pos_r[mask] - i)
-            k = np.unique(k)
-            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
-            if keys.size == 0:
-                return np.zeros(0, np.int64), np.zeros(0)
-        ids = np.unique(keys // np.int64(1 << 32)).astype(np.int64)
         sc = np.zeros(len(ids))
         w = self.weights[field]
         for t in node.terms:
@@ -414,6 +479,78 @@ class SegmentEvaluator:
             add[ia] = tsc[ib]
             sc = sc + node.boost * w * add
         return ids, sc
+
+    def top_m_phrase(self, node: P.Phrase, m: int):
+        """Exact top-m for a pure phrase query, bound-ordered chunked
+        verification: the per-term BM25 sum over the candidate
+        intersection is an upper bound that is EXACT when adjacency
+        holds (a phrase match scores precisely that sum), so verifying
+        candidates in bound-descending order can stop once m docs are
+        verified and the m-th verified score strictly beats the best
+        unverified bound.  Heavy phrases verify ~4m docs instead of the
+        whole candidate set."""
+        s = self.seg
+        if node.field == P.DEFAULT_FIELD:
+            fields = self.default_fields
+        elif node.field in self.weights:
+            fields = (node.field,)
+        else:
+            fields = ()
+        per_field = []
+        for f in fields:
+            cand = self._phrase_cand(node.terms, f)
+            if cand.size == 0:
+                continue
+            sc = np.zeros(len(cand))
+            for t in node.terms:
+                tids, tsc = s.term_scores(f, t, self.idf.get((f, t), 0.0))
+                _, ia, ib = np.intersect1d(cand, tids, assume_unique=True,
+                                           return_indices=True)
+                sc[ia] += node.boost * self.weights[f] * tsc[ib]
+            per_field.append((f, cand, sc))
+        if not per_field:
+            return np.zeros(0, np.int64), np.zeros(0)
+        all_ids = np.unique(np.concatenate([c for _, c, _ in per_field]))
+        total = np.zeros(len(all_ids))
+        for _, c, sc in per_field:
+            total[np.searchsorted(all_ids, c)] += sc
+        order = np.argsort(-total, kind="stable")
+
+        out_ids, out_sc = [], []
+        n_done = 0
+        chunk = max(4 * m, 256)
+        pos = 0
+        while pos < len(order):
+            take = order[pos : pos + chunk]
+            pos += chunk
+            docs_chunk = np.sort(all_ids[take])
+            chunk_sc = np.zeros(len(docs_chunk))
+            chunk_hit = np.zeros(len(docs_chunk), dtype=bool)
+            for f, c, sc in per_field:
+                sub = np.intersect1d(docs_chunk, c, assume_unique=True)
+                matched = self._phrase_match_docs(node.terms, f, sub)
+                if matched.size == 0:
+                    continue
+                ia = np.searchsorted(docs_chunk, matched)
+                ib = np.searchsorted(c, matched)
+                chunk_sc[ia] += sc[ib]
+                chunk_hit[ia] = True
+            out_ids.append(docs_chunk[chunk_hit])
+            out_sc.append(chunk_sc[chunk_hit])
+            n_done += int(chunk_hit.sum())
+            if n_done >= m and pos < len(order):
+                allsc = np.concatenate(out_sc)
+                theta = np.partition(allsc, -m)[-m]
+                # strict: equal-bound docs later in the order could
+                # still win an url tie-break, so only a strictly lower
+                # bound is safely prunable
+                if theta > total[order[pos]]:
+                    break
+        if not out_ids:
+            return np.zeros(0, np.int64), np.zeros(0)
+        ids = np.concatenate(out_ids)
+        sc = np.concatenate(out_sc)
+        return self._cut(ids, sc, m)
 
     # ---------- block-max pruned top-m (flat term queries) ----------
 

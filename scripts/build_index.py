@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--fields", default=None,
+        help='context schema as JSON, e.g. \'[{"name":"title","weight":2.5,'
+             '"default":true,"source":"title"},{"name":"text","weight":1.0,'
+             '"default":true,"source":"body"}]\' (default: single body field)')
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -41,6 +46,14 @@ def main(argv=None):
         spark = get_spark(app_name="hayoo-build", cores=args.cores)
 
     from hayoo_spark.index.builder import build_index
+    from hayoo_spark.index.fields import DEFAULT_FIELDS, FieldSpec
+
+    fields = DEFAULT_FIELDS
+    if args.fields:
+        fields = tuple(
+            FieldSpec(f["name"], float(f.get("weight", 1.0)),
+                      bool(f.get("default", True)), f.get("source", "body"))
+            for f in json.loads(args.fields))
 
     metrics = build_index(
         spark, args.pages, args.index,
@@ -49,6 +62,7 @@ def main(argv=None):
         salt_df_threshold=args.salt_threshold,
         n_salts=args.n_salts,
         resume=args.resume,
+        fields=fields,
     )
     print(json.dumps(metrics))
 

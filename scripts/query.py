@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("-k", type=int, default=20)
     ap.add_argument("--page", type=int, default=0)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--select", default=None,
+                    help="comma-separated stored fields to project onto "
+                         "hits (Q12), e.g. lang,warc_ts,dl_text")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,9 +45,14 @@ def main(argv=None):
     eng = SearchEngine(spark, args.index, mode=args.mode)
     queries = args.query or [ln.strip() for ln in sys.stdin if ln.strip()]
     for q in queries:
-        hits = eng.search(q, k=args.k, page=args.page)
-        print(json.dumps({"query": q,
-                          "hits": [{"url": u, "score": s} for u, s in hits]}))
+        if args.select:
+            fields = tuple(args.select.split(","))
+            rows = eng.search_docs(q, k=args.k, page=args.page, fields=fields)
+            print(json.dumps({"query": q, "hits": rows}, default=str))
+        else:
+            hits = eng.search(q, k=args.k, page=args.page)
+            print(json.dumps({"query": q,
+                              "hits": [{"url": u, "score": s} for u, s in hits]}))
 
 
 if __name__ == "__main__":

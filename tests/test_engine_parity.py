@@ -47,6 +47,40 @@ def test_filter_branch_queries_spark(engine, oracle_ix, q):
     _check(engine, oracle_ix, q["query"], q["k"], q["page"], "spark")
 
 
+def test_search_docs_projection(engine, oracle_ix):
+    """Q12: hits carry requested stored fields, values match the oracle
+    doc store, both execution modes agree."""
+    for mode in ("local", "spark"):
+        rows = engine.search_docs("baba AND bibaba", k=10, mode=mode,
+                                  fields=("lang", "warc_ts", "dl_text"))
+        want = oracle.search(oracle_ix, "baba AND bibaba", k=10)
+        assert [r["url"] for r in rows] == [u for u, _ in want]
+        for r in rows:
+            d = oracle_ix.urls.index(r["url"])
+            assert r["lang"] == oracle_ix.langs[d]
+            assert r["dl_text"] == int(oracle_ix.dl["text"][d])
+            assert str(r["warc_ts"])[:10] == str(oracle_ix.warc_ts[d])[:10]
+
+
+def test_canned_queries(engine, oracle_ix):
+    """Q14: canned templates render to the normal query language and
+    match the oracle run on the rendered string."""
+    from hayoo_spark.query import canned
+
+    cases = [
+        ("topic-in-lang", {"term": "baba", "lang": "de"}),
+        ("recent-topic", {"term": "baba", "since": "2024-01-01",
+                          "until": "2024-04-01"}),
+        ("topic-not-lang", {"term": "bibaba", "lang": "de"}),
+        ("boosted-topic", {"term": "nibaba"}),
+    ]
+    for name, params in cases:
+        q = canned.render(name, **params)
+        got = engine.search_canned(name, params, k=10)
+        want = oracle.search(oracle_ix, q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in want], (name, q)
+
+
 def test_autocomplete_parity(engine, oracle_ix):
     for prefix in ["ba", "bi", "so", "zz"]:
         got = engine.autocomplete(prefix, n=10)
