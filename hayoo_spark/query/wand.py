@@ -238,55 +238,105 @@ class SegmentData:
                 _POSTINGS_CACHE[gkey] = out
         return out
 
+    def _raw_postings(self, field: str, term: str):
+        """Per-sub-list decoded (ids, tfs, row) — memoized so repeated
+        selective position reads (chunked phrase verify) decode the
+        posting arrays once per SegmentData."""
+        key = ("rawpt", field, term)
+        hit = self._decoded.get(key)
+        if hit is None:
+            hit = []
+            for r in self._raw.get((field, term), []):
+                ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
+                hit.append((ids.astype(np.int64), tfs.astype(np.int64), r))
+            self._decoded[key] = hit
+        return hit
+
+    @staticmethod
+    def _member_mask(ids: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        """Boolean mask over sorted `ids` marking members of sorted
+        `cand` — O(|cand| log |ids|) searchsorted, not isin."""
+        idx = np.searchsorted(ids, cand)
+        ok = idx < len(ids)
+        ok[ok] = ids[idx[ok]] == cand[ok]
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[idx[ok]] = True
+        return mask
+
     def positions_for(self, field: str, term: str, cand: np.ndarray):
-        """(doc_rep, abs_pos) restricted to candidate doc ids.
+        """(doc_rep, abs_pos) restricted to candidate doc ids (sorted).
 
         Decodes ONLY the position blocks containing candidates using the
         stored per-block byte offsets (``block_pos_off``) — a phrase
         over selective terms touches a handful of blocks instead of the
-        term's whole position stream.  Rows lacking the offsets (legacy
-        layout / synthetic fixtures) fall back to a full decode."""
+        term's whole position stream.  When candidates span most of the
+        blocks (heavy phrases), the cross-query-cached full decode
+        (positions_flat) is cheaper than block slicing and is used
+        instead.  Rows lacking offsets (legacy layout) full-decode."""
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        doc_parts, pos_parts = [], []
-        for r in self._raw.get((field, term), []):
-            ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
-            ids = ids.astype(np.int64)
-            tfs = tfs.astype(np.int64)
-            present_mask = np.isin(ids, cand, assume_unique=True)
-            if not present_mask.any():
-                continue
+        rows = self._raw_postings(field, term)
+        if not rows:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # strategy choice: selective block slicing pays off only when
+        # candidates touch a minority of blocks in every sub-list;
+        # otherwise the cross-query-cached full decode + filter wins
+        plan = []
+        dense = False
+        for ids, tfs, r in rows:
+            present = self._member_mask(ids, cand)
             off = getattr(r, "block_pos_off", None)
             blast = np.asarray(r.block_last, np.int64)
-            if off is not None and len(off) == len(blast):
-                off = np.asarray(off, np.int64)
-                buf = bytes(r.pos_vb)
-                ends = np.concatenate((off[1:], [len(buf)]))
-                # block index boundaries in posting order
-                bstarts = np.concatenate(
-                    ([0], np.searchsorted(ids, blast, side="right")))
-                blocks = np.unique(
-                    np.searchsorted(blast, ids[present_mask], side="left"))
-                sel = b"".join(buf[off[b]:ends[b]] for b in blocks)
-                sel_idx = np.concatenate(
-                    [np.arange(bstarts[b], bstarts[b + 1]) for b in blocks])
-                s_ids, s_tfs = ids[sel_idx], tfs[sel_idx]
-                flat = codec.varbyte_decode(sel)
-            else:
-                s_ids, s_tfs = ids, tfs
-                flat = codec.varbyte_decode(r.pos_vb)
+            if not present.any():
+                continue
+            if off is None or len(off) != len(blast):
+                dense = True
+                break
+            blocks = np.unique(
+                np.searchsorted(blast, ids[present], side="left"))
+            if len(blocks) * 3 > len(blast):
+                dense = True
+                break
+            plan.append((ids, tfs, r, np.asarray(off, np.int64), blast, blocks))
+        if dense:
+            return self._filter_flat(field, term, cand)
+        doc_parts, pos_parts = [], []
+        for ids, tfs, r, off, blast, blocks in plan:
+            buf = bytes(r.pos_vb)
+            ends = np.concatenate((off[1:], [len(buf)]))
+            # block index boundaries in posting order
+            bstarts = np.concatenate(
+                ([0], np.searchsorted(ids, blast, side="right")))
+            sel = b"".join(buf[off[b]:ends[b]] for b in blocks)
+            sel_idx = np.concatenate(
+                [np.arange(bstarts[b], bstarts[b + 1]) for b in blocks])
+            s_ids, s_tfs = ids[sel_idx], tfs[sel_idx]
+            flat = codec.varbyte_decode(sel)
             # segmented delta->absolute: global cumsum minus the running
             # base at each doc start (spans are independent per doc)
             offs = np.concatenate(([0], np.cumsum(s_tfs)))
             g = np.cumsum(flat.astype(np.int64))
             prev = np.where(offs[:-1] > 0, g[np.maximum(offs[:-1] - 1, 0)], 0)
             abs_pos = g - np.repeat(prev, s_tfs)
-            keep = np.isin(s_ids, cand, assume_unique=True)
+            keep = self._member_mask(s_ids, cand)
             doc_parts.append(np.repeat(s_ids[keep], s_tfs[keep]))
             pos_parts.append(abs_pos[np.repeat(keep, s_tfs)])
         if doc_parts:
             return np.concatenate(doc_parts), np.concatenate(pos_parts)
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    def _member_mask_rep(self, docs_r: np.ndarray, cand: np.ndarray):
+        """Membership mask for a (possibly unsorted) repeated doc-id
+        vector against sorted `cand`."""
+        idx = np.searchsorted(cand, docs_r)
+        ok = idx < len(cand)
+        ok[ok] = cand[idx[ok]] == docs_r[ok]
+        return ok
+
+    def _filter_flat(self, field: str, term: str, cand: np.ndarray):
+        docs_r, pos_r = self.positions_flat(field, term)
+        keep = self._member_mask_rep(docs_r, cand)
+        return docs_r[keep], pos_r[keep]
 
     def term_scores(self, field: str, term: str, idf: float):
         """Per-posting scores incl. the per-document static boost
