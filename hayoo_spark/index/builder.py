@@ -138,6 +138,12 @@ def field_tokens_col(f: FieldSpec):
         return tokens_col("text_x", lowercase=False)
     if f.source == "title":
         return tokens_col(extract_title_col(F.col("html")))
+    if f.source == "url_terms":
+        # hierarchy / name-part expansion analogue (A2/A3): the url's
+        # host and path segments split at punctuation become terms
+        # (reference module `A.B.C` -> `A B C`, FctIndexerCore.hs:38-41;
+        # pkg `foo-bar` -> parts, PkgIndexerCore.hs:134-143)
+        return tokens_col(F.col("url"))
     return tokens_col(F.col(f.source))
 
 

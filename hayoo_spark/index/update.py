@@ -63,6 +63,9 @@ def update_index(
     """Apply an incremental update.  ``pages_path`` must point at the
     CURRENT full pages table (the updated source of truth); only the
     segments owning changed urls are rebuilt."""
+    # segment count is a physical property of the existing index — an
+    # explicit kwarg is ignored in favor of the inferred value
+    build_kwargs.pop("n_segments", None)
     n_segments = _infer_n_segments(index_dir)
     pages = spark.read.parquet(pages_path)
     if changed_urls is None:

@@ -75,6 +75,8 @@ def _field_text(row, f: FieldSpec, from_html: bool) -> tuple[str, bool]:
                 else row["text"]), False
     if f.source == "title":
         return extract_title_py(row["html"]), True
+    if f.source == "url_terms":
+        return row["url"], True
     return str(row[f.source]), True
 
 

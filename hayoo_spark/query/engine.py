@@ -51,8 +51,12 @@ DICT_CACHE_BYTES = 256 * 1024 * 1024
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  mode: str = "local"):
+        from ..index import snapshot
         self.spark = spark
-        self.index_dir = index_dir
+        # a snapshot root resolves to its live version ONCE here — the
+        # engine keeps a consistent view of that version's (immutable)
+        # files even while snapshot_update publishes newer ones
+        self.index_dir = index_dir = snapshot.resolve(index_dir)
         self.mode = mode
         srows = sorted(
             spark.read.parquet(os.path.join(index_dir, "stats")).collect(),

@@ -133,9 +133,16 @@ def _parse_atom(toks: list[str]):
         return _maybe_boost(Phrase(tuple(words)), rest)
     if t.startswith("!") and len(t) > 1:
         # `!word` = case-sensitive exact term (App.hs:187-200); case is
-        # PRESERVED and the term targets the case-sensitive field
+        # PRESERVED and the term targets the case-sensitive field.
+        # `!Foo*` / `!Foo~` give the case-sensitive prefix (Q1) and
+        # fuzzy flavors over that field's dictionary.
         from .plan import CS_FIELD
-        return _maybe_boost(Term(t[1:], field=CS_FIELD), rest)
+        w = t[1:]
+        if w.endswith("*") and len(w) > 1:
+            return _maybe_boost(Prefix(w[:-1], field=CS_FIELD), rest)
+        if w.endswith("~") and len(w) > 1:
+            return _maybe_boost(Fuzzy(w[:-1], field=CS_FIELD), rest)
+        return _maybe_boost(Term(w, field=CS_FIELD), rest)
     if ":" in t and not t.startswith(":"):
         field, _, val = t.partition(":")
         field = field.lower()

@@ -47,6 +47,15 @@ def test_filter_branch_queries_spark(engine, oracle_ix, q):
     _check(engine, oracle_ix, q["query"], q["k"], q["page"], "spark")
 
 
+def test_point_lookup_by_url(engine, oracle_ix):
+    """Q13: exact-key point lookup (url: filter, k=1) in both modes."""
+    url = oracle_ix.urls[17]
+    for mode in ("local", "spark"):
+        got = engine.search(f"url:{url}", k=1, mode=mode)
+        assert got == [(url, 0.0)], (mode, got)
+    assert engine.search("url:https://no.such/url", k=1) == []
+
+
 def test_search_docs_projection(engine, oracle_ix):
     """Q12: hits carry requested stored fields, values match the oracle
     doc store, both execution modes agree."""

@@ -17,6 +17,8 @@ FIELDS = (
     FieldSpec("tag", weight=0.0, default=False, source="tag"),
     # case-sensitive flavor, searched only via `!word` / text_cs:
     FieldSpec("text_cs", weight=1.0, default=False, source="body_cs"),
+    # hierarchy/name-part expansion analogue (A2/A3): url segments
+    FieldSpec("url_terms", weight=0.5, default=False, source="url_terms"),
 )
 
 QUERIES = [
@@ -28,9 +30,13 @@ QUERIES = [
     # weight-0 filter field: restricts matches, adds no score
     "tag:alpha AND baba", "tag:beta AND bibaba", "tag:gamma",
     "tag:alpha AND NOT baba",
-    # case-sensitive flavor
+    # case-sensitive flavor incl. prefix/fuzzy markers (Q1)
     "!CamelCase", "!camelcase", "!CAMELCASE", "!plainword",
-    "!CamelCase OR baba", "camelcase",
+    "!CamelCase OR baba", "camelcase", "!Camel*", "!camel*",
+    "!CamelCasx~",
+    # hierarchy/name-split field (A2/A3): url host+path segments
+    "url_terms:example0", "url_terms:example0 AND baba",
+    "url_terms:exam*", "url_terms:edge OR bibaba",
     # boosts & paging interplay
     "title:baba^2 OR bibaba", "baba^0.5 AND bibaba",
 ]

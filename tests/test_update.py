@@ -85,3 +85,57 @@ def test_streaming_ingest(spark, tmp_path):
     got = eng.search("freshterm", k=20)
     want = oracle.search(ix, "freshterm", k=20)
     assert [u for u, _ in got] == [u for u, _ in want]
+
+
+def test_snapshot_atomic_update(spark, tmp_path_factory):
+    """Snapshot shim: updates publish as new versions behind an
+    atomically-flipped CURRENT pointer; engines opened on the old
+    version keep working on untouched files (snapshot isolation) and a
+    fresh engine sees results identical to a full rebuild."""
+    import pandas as pd
+
+    from hayoo_spark import fixtures
+    from hayoo_spark.index import snapshot
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    d = tmp_path_factory.mktemp("snap")
+    pages = fixtures.make_pages(120)
+    p_path = str(d / "pages.parquet")
+    pages.to_parquet(p_path, index=False)
+    root = str(d / "root")
+    m1 = snapshot.init_root(spark, p_path, root, n_segments=4)
+    assert m1["version"] == "v000001"
+
+    old_engine = SearchEngine(spark, root)
+    before = old_engine.search("baba", k=10)
+    assert before
+
+    pages2 = pages.copy()
+    i = pages2.index[pages2["url"] == "https://edge.org/single"][0]
+    pages2.loc[i, "text"] = "solitaryword mutated"
+    pages2.loc[i, "html"] = (b"<html><head><title>x</title></head>"
+                             b"<body><p>solitaryword mutated</p></body></html>")
+    pages2.loc[i, "warc_ts"] = pd.Timestamp("2025-06-01")
+    pages2.to_parquet(p_path, index=False)
+    m2 = snapshot.snapshot_update(spark, p_path, root,
+                                  since_ts="2025-01-01", n_segments=4)
+    assert m2["version"] == "v000002"
+    assert snapshot.resolve(root).endswith("v000002")
+
+    # the engine opened before the flip still serves its version
+    assert old_engine.search("baba", k=10) == before
+    assert old_engine.search("mutated", k=5) == []
+
+    # a fresh engine sees the update, identical to a full rebuild
+    full = str(d / "full")
+    build_index(spark, p_path, full, n_segments=4)
+    new_engine = SearchEngine(spark, root)
+    e_full = SearchEngine(spark, full)
+    for q in ["baba", "mutated", "solitaryword"]:
+        assert new_engine.search(q, k=10) == e_full.search(q, k=10), q
+
+    # prune keeps the live version
+    removed = snapshot.prune(root, keep=1)
+    assert removed == ["v000001"]
+    assert SearchEngine(spark, root).search("mutated", k=5)
