@@ -111,6 +111,41 @@ COMBINED_SCHEMA = StructType([
 ])
 
 
+def write_meta_parquet(path: str, pdf: pd.DataFrame, schema) -> None:
+    """Driver-side parquet write for metadata-sized tables (stats,
+    manifest rows).  A `spark.createDataFrame(rows).coalesce(1).write`
+    costs ~5s at local[32]: the list parallelizes into
+    default.parallelism partitions and the single coalesced write task
+    pays a python-worker round PER parent partition — overhead that
+    grows with core count and poisons the N-vs-4N scaling measurement.
+    A pyarrow write is one driver syscall; Spark reads the dir as usual.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(table, os.path.join(
+        path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def manifest_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("segment_id", pa.string()),
+        ("partition_id", pa.int32()),
+        ("input_fingerprint", pa.string()),
+        ("docs", pa.int64()),
+        ("postings", pa.int64()),
+        ("docs_per_sec", pa.float64()),
+        ("postings_per_sec", pa.float64()),
+        ("skew_ratio", pa.float64()),
+        ("enc_avgdl", pa.float64()),
+        ("commit_ts", pa.timestamp("us", tz="UTC")),
+    ])
+
+
 def extract_text(df: DataFrame, html_col: str = "html",
                  jvm: bool = True) -> DataFrame:
     """Add `text_x` extracted from html.
@@ -155,17 +190,21 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133):
       the file-order ordinal is assigned BEFORE any repartition so the
       winner is deterministic;
-    - the explicit repartition right after spreads extraction across the
-      cluster even when the source is a handful of large files (a single
-      45 MB parquet file is ONE input split — without this the whole
-      extract+tokenize pass runs on one core);
     - segment = xxhash64(url) mod n_segments (document partitioning);
     - doc_id = dense local ordinal, url-ascending within segment
       (deterministic ⇒ resumable builds are bit-equal);
     - per field f: ``tokens_<f>`` array + ``dl_<f>`` length (BM25F —
       every field is its own mini-index, fields.py).
+
+    ONE exchange for dedup + doc-id assignment: a url's duplicates all
+    hash to the same segment, so sorting each segment partition by
+    (url, ord) makes first-wins dedup a lag() comparison, and the
+    doc_id window needs only the (url) ordering that SAME sort already
+    provides — Catalyst inserts no second exchange or sort.  The old
+    two-window form shipped the whole corpus (html + text) through two
+    full shuffles; this halves the build's heaviest data movement.
     """
-    w_first = Window.partitionBy("url").orderBy("ord")
+    w_sort = Window.partitionBy("segment").orderBy("url", "ord")
     w_seg = Window.partitionBy("segment").orderBy("url")
     df = pages.withColumn("ord", F.monotonically_increasing_id())
     if parallelism:
@@ -177,10 +216,11 @@ def prepare_docs(pages: DataFrame, n_segments: int,
         df = df.withColumn("boost", F.lit(1.0))
     out = (
         extract_text(df)
-        .withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "ord")
-        .withColumn("segment", F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
+        .withColumn("segment",
+                    F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
+        .withColumn("_prev_url", F.lag("url").over(w_sort))
+        .filter(F.col("_prev_url").isNull() | (F.col("_prev_url") != F.col("url")))
+        .drop("_prev_url", "ord")
     )
     for f in fields:
         out = out.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
@@ -373,14 +413,24 @@ def build_index(
         a = docs.agg(*aggs).collect()[0]
         n_docs = a["n_docs"]
         avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0) for f in fields}
-        rows = [(f.name, i, float(f.weight), bool(f.default), f.source,
-                 int(n_docs), avgdl[f.name], int(a[f"tot_{f.name}"] or 0))
-                for i, f in enumerate(fields)]
-        spark.createDataFrame(
-            rows,
-            "field string, fkey int, weight double, is_default boolean, "
-            "source string, n_docs long, avgdl double, total_tokens long",
-        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+        import pyarrow as pa
+        import shutil as _sh
+        _sh.rmtree(stats_path, ignore_errors=True)
+        write_meta_parquet(stats_path, pd.DataFrame({
+            "field": [f.name for f in fields],
+            "fkey": np.arange(len(fields), dtype=np.int32),
+            "weight": [float(f.weight) for f in fields],
+            "is_default": [bool(f.default) for f in fields],
+            "source": [f.source for f in fields],
+            "n_docs": np.full(len(fields), int(n_docs), np.int64),
+            "avgdl": [avgdl[f.name] for f in fields],
+            "total_tokens": [int(a[f"tot_{f.name}"] or 0) for f in fields],
+        }), pa.schema([
+            ("field", pa.string()), ("fkey", pa.int32()),
+            ("weight", pa.float64()), ("is_default", pa.bool_()),
+            ("source", pa.string()), ("n_docs", pa.int64()),
+            ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
+        ]))
 
     phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
 
@@ -571,14 +621,22 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
             float(p["skew_ratio"]) if p and p["skew_ratio"] else 1.0,
             float(enc_avgdl),
         ))
-    (spark.createDataFrame(
-        out,
-        "segment_id string, partition_id int, input_fingerprint string, "
-        "docs long, postings long, docs_per_sec double, "
-        "postings_per_sec double, skew_ratio double, enc_avgdl double")
-     .withColumn("commit_ts", F.current_timestamp())
-     .coalesce(1).write.mode("append")
-     .parquet(os.path.join(index_dir, "manifest")))
+    import datetime as _dt
+    cols = list(zip(*out)) if out else [[] for _ in range(9)]
+    pdf = pd.DataFrame({
+        "segment_id": list(cols[0]),
+        "partition_id": np.asarray(cols[1], np.int32),
+        "input_fingerprint": list(cols[2]),
+        "docs": np.asarray(cols[3], np.int64),
+        "postings": np.asarray(cols[4], np.int64),
+        "docs_per_sec": np.asarray(cols[5], np.float64),
+        "postings_per_sec": np.asarray(cols[6], np.float64),
+        "skew_ratio": np.asarray(cols[7], np.float64),
+        "enc_avgdl": np.asarray(cols[8], np.float64),
+    })
+    pdf["commit_ts"] = pd.Timestamp(_dt.datetime.now(_dt.timezone.utc))
+    write_meta_parquet(os.path.join(index_dir, "manifest"), pdf,
+                       manifest_schema())
 
 
 def finalize(spark: SparkSession, index_dir: str) -> None:

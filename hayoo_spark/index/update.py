@@ -86,7 +86,8 @@ def update_index(
     kept = man.toPandas()
     shutil.rmtree(man_path, ignore_errors=True)
     if len(kept):
-        spark.createDataFrame(kept).coalesce(1).write.mode("overwrite").parquet(man_path)
+        from .builder import manifest_schema, write_meta_parquet
+        write_meta_parquet(man_path, kept, manifest_schema())
     else:
         os.makedirs(man_path, exist_ok=True)
 
