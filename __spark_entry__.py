@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hayoo_spark.analysis import MIN_TOKEN_LEN, TOKEN_RE, tokens_col
-from hayoo_spark.ops import dedup, similarity, textstats
+from hayoo_spark.ops import dedup, graph, similarity, textstats
 from hayoo_spark.query import relational
 
 K1, B = relational.K1, relational.B
@@ -212,6 +212,30 @@ def q_latest_version_dedup(spark, sf_dir):
     )
 
 
+def _nation_edges(spark, sf_dir):
+    """Deterministic dependency DAG over the nation table (R1 edge-list
+    analogue): child n depends on parent n//2."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (nat.filter(F.col("n_nationkey") > 0)
+            .select(F.col("n_nationkey").cast("long").alias("src"),
+                    F.floor(F.col("n_nationkey") / 2).cast("long").alias("dst")))
+
+
+def q_transitive_closure(spark, sf_dir):
+    """R3 transitive closure: iterative join-to-fixpoint with lineage
+    checkpoints (reference PackageRank.hs:176-183)."""
+    return graph.transitive_closure(_nation_edges(spark, sf_dir))
+
+
+def q_pkg_rank(spark, sf_dir):
+    """R5 dependents-prestige rank, w=0.5 (PackageRank.hs:248-261) —
+    walk-weight formulation, exact dyadic arithmetic on both engines."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nodes = nat.select(F.col("n_nationkey").cast("long").alias("node"))
+    return graph.dependents_rank(nodes, _nation_edges(spark, sf_dir)) \
+        .select("node", "rank_x1e4")
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -279,6 +303,28 @@ def sim_lsh_topk(spark, sf_dir):
     return out.select("vec_id", "cos_x1e6")
 
 
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k (deterministic sampled centroids, 4-probe)
+    — exact DuckDB twin reproduces centroid choice, assignment, probe
+    order, and the final cosine top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = similarity.ivf_cosine_topk(emb, list(qvec), k=10, n_cells=16,
+                                     n_probe=4)
+    return out.select("vec_id", "cos_x1e6")
+
+
+def mm_payload_stats(spark, sf_dir):
+    """Multimodal plumbing probe: documents' utf-8 bytes ride as an
+    opaque binary payload column through the same Arrow-batched
+    mapInPandas path a media decoder uses (ops/multimodal.py); the
+    outputs (length, digest, chunk fan-out) have exact SQL twins."""
+    from hayoo_spark.ops import multimodal
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return multimodal.payload_stats(docs)
+
+
 def t_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -315,6 +361,42 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_sessionize_stream(spark, sf_dir):
+    """Structured-Streaming stateful sessionization (SURVEY §2.7 /
+    T12): the events table is replayed as a two-drop file stream,
+    drained with availableNow through applyInPandasWithState, and the
+    final per-user emission must equal the batch window-lag sessionizer
+    — so the BATCH oracle SQL checks the STREAMING operator."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hayoo_spark import streaming
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "ts")
+          .orderBy("ts", "event_id"))
+    pdf = ev.toPandas()
+    # microsecond precision: Spark's NTZ parquet reader rejects NANOS
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tempfile.mkdtemp(prefix="hayoo_stream_")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(f"{d}/drop-0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(f"{d}/drop-1.parquet", index=False)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    q = (streaming.sessionize_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    shutil.rmtree(d, ignore_errors=True)
+    # update mode: one row per user per touching micro-batch; the last
+    # emission per user is the drained total
+    out = spark.table(name).toPandas().groupby("user_id").last().reset_index()
+    return spark.createDataFrame(
+        out, "user_id long, n_sessions long, n_events long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-term BM25 AND over sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
@@ -337,7 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_field_weighted": q_field_weighted,
         "q_latest_version_dedup": q_latest_version_dedup,
         "q_join_compose": q_join_compose,
+        "q_transitive_closure": q_transitive_closure,
+        "q_pkg_rank": q_pkg_rank,
         "q_events_sessionize": q_events_sessionize,
+        "q_sessionize_stream": q_sessionize_stream,
         "d_exact_dup": d_exact_dup,
         "d_ngram_jaccard": d_ngram_jaccard,
         "d_minhash_lsh": d_minhash_lsh,
@@ -345,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embed_neardup": d_embed_neardup,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_topk": sim_ivf_topk,
+        "mm_payload_stats": mm_payload_stats,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -486,6 +573,24 @@ SELECT r.r_name AS region, count(*) AS n_suppliers
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
+    edges_cte = ("SELECT n_nationkey::BIGINT AS src, "
+                 "(n_nationkey // 2)::BIGINT AS dst "
+                 "FROM nation WHERE n_nationkey > 0")
+    sql["q_transitive_closure"] = f"""
+WITH RECURSIVE e AS ({edges_cte}),
+p(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+SELECT src, dst FROM p"""
+    sql["q_pkg_rank"] = f"""
+WITH RECURSIVE e AS ({edges_cte}),
+walks(node, wgt) AS (
+  SELECT n_nationkey::BIGINT, 1.0::DOUBLE FROM nation
+  UNION ALL
+  SELECT e.dst, w.wgt * 0.5 FROM walks w JOIN e ON e.src = w.node)
+SELECT node, CAST(ROUND(sum(wgt) * 10000) AS BIGINT) AS rank_x1e4
+FROM walks GROUP BY node"""
     sql["q_events_sessionize"] = """
 WITH ordered AS (
   SELECT user_id, ts, event_id,
@@ -501,6 +606,8 @@ sess AS (
 SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM sess GROUP BY user_id"""
+    # the streaming sessionizer must converge to the batch fold
+    sql["q_sessionize_stream"] = sql["q_events_sessionize"]
     sql["d_exact_dup"] = """
 SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text)"""
@@ -508,6 +615,7 @@ FROM documents GROUP BY md5(text)"""
     sql["d_minhash_lsh"] = _minhash_lsh_sql(threshold=0.2)
     sql["d_simhash"] = _simhash_sql(max_hamming=6)
     sql["sim_lsh_topk"] = _lsh_topk_sql(dim=64, bits=6, multiprobe=2, k=10)
+    sql["sim_ivf_topk"] = _ivf_topk_sql(n_cells=16, n_probe=4, k=10)
     sql["d_embed_neardup"] = """
 WITH expl AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -524,6 +632,12 @@ FROM pairs WHERE dot/(na*nb) >= 0.30"""
     sql["sim_cosine_topk"] = _EMB_DOT + """
 SELECT vec_id, CAST(ROUND(dot/(na*nb) * 1000000) AS BIGINT) AS cos_x1e6
 FROM dots ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
+    sql["mm_payload_stats"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       (octet_length(encode(text)) + 1023) // 1024 AS n_chunks
+FROM documents"""
     sql["t_token_count"] = f"""
 SELECT doc_id,
        len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
@@ -711,6 +825,46 @@ dots AS (SELECT vec_id, sum(x * y) AS dot,
          FROM expl GROUP BY vec_id)
 SELECT vec_id, CAST(ROUND(dot/(na*nb) * 1000000) AS BIGINT) AS cos_x1e6
 FROM dots ORDER BY dot/(na*nb) DESC, vec_id LIMIT {k}"""
+
+
+def _ivf_topk_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_cosine_topk: centroids = the
+    n_cells smallest vec_ids; cell = argmax dot(v,c)/|c| (smallest cid
+    on ties); probe the query's n_probe best cells; exact cosine top-k
+    among candidates."""
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT {n_cells}),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+ce AS (SELECT cid, generate_subscripts(cv, 1) AS j,
+              unnest(cv)::DOUBLE AS y
+       FROM c),
+cn AS (SELECT cid, sqrt(sum(y * y)) AS nrm FROM ce GROUP BY cid),
+dots AS (SELECT e.vec_id, ce.cid, sum(e.x * ce.y) AS d
+         FROM e JOIN ce USING (j) GROUP BY e.vec_id, ce.cid),
+scored AS (SELECT vec_id, dots.cid, d / nrm AS s
+           FROM dots JOIN cn ON cn.cid = dots.cid),
+cell AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+           FROM scored) WHERE rn = 1),
+qprobe AS (SELECT cid FROM scored WHERE vec_id = 0
+           ORDER BY s DESC, cid LIMIT {n_probe}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+expl AS (SELECT em.vec_id, unnest(em.embedding)::DOUBLE AS x,
+                unnest(q.qv)::DOUBLE AS y
+         FROM embeddings em
+         JOIN cell ON cell.vec_id = em.vec_id
+         CROSS JOIN q
+         WHERE cell.cid IN (SELECT cid FROM qprobe)),
+fdots AS (SELECT vec_id, sum(x * y) AS dot,
+                 sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+          FROM expl GROUP BY vec_id)
+SELECT vec_id, CAST(ROUND(dot/(na*nb) * 1000000) AS BIGINT) AS cos_x1e6
+FROM fdots ORDER BY dot/(na*nb) DESC, vec_id LIMIT {k}"""
 
 
 def _quality_sql() -> str:

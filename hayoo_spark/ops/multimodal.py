@@ -71,6 +71,30 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def payload_stats(df: DataFrame, key: str = "doc_id",
+                  payload: str = "payload",
+                  chunk_bytes: int = 1024) -> DataFrame:
+    """Cheap per-payload statistics over a binary column via
+    mapInPandas (the exact batch shape a real decoder uses): byte
+    length, content digest, and the chunk count a chunked feature
+    extractor would fan out to.  Fully SQL-expressible, so this is the
+    oracle-checked probe of the multimodal plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [bytes(b) for b in pdf[payload]]
+            yield pd.DataFrame({
+                key: pdf[key],
+                "n_bytes": [len(b) for b in raw],
+                "digest": [hashlib.md5(b).hexdigest() for b in raw],
+                "n_chunks": [(len(b) + chunk_bytes - 1) // chunk_bytes
+                             for b in raw],
+            })
+
+    return df.select(key, payload).mapInPandas(
+        run, f"{key} long, n_bytes long, digest string, n_chunks long")
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (explode of a sequence on duration metadata) — the decode of each

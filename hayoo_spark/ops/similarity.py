@@ -89,6 +89,53 @@ def lsh_cosine_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     return cosine_topk(cand, qvec, k, key, vec)
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, key: str = "vec_id",
+                  vec: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic IVF centroids: the vectors with the n_cells
+    smallest keys (cid = that key).  A k-means refinement is an offline
+    batch job at scale; the bucketing/probing mechanics — which is what
+    the engine provides — are identical either way."""
+    rows = emb.orderBy(key).limit(n_cells).select(key, vec).collect()
+    C = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+    cids = np.array([r[key] for r in rows], dtype=np.int64)
+    return C, cids
+
+
+def ivf_assign(emb: DataFrame, C: np.ndarray, cids: np.ndarray,
+               key: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """(key, cell): nearest centroid by cosine (|v| cancels, so argmax
+    of dot/|centroid|; ties -> smallest cid).  mapInPandas matmul with
+    the closure-broadcast centroid matrix — at 100 TB `cell` becomes
+    the partition key of the vector table, so probes prune partitions."""
+    Cw = (C / np.linalg.norm(C, axis=1, keepdims=True).clip(min=1e-12)).T
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            cell = np.argmax(m @ Cw, axis=1)  # first max = smallest idx
+            yield pd.DataFrame({key: pdf[key].to_numpy(),
+                                "cell": cids[cell]})
+
+    return emb.select(key, vec).mapInPandas(assign, f"{key} long, cell long")
+
+
+def ivf_cosine_topk(emb: DataFrame, qvec: list[float], k: int = 10,
+                    n_cells: int = 16, n_probe: int = 4,
+                    key: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the query's
+    n_probe nearest cells.  O(N/n_cells * n_probe) per query plus one
+    linear assignment pass (amortized across queries / precomputed as a
+    stored column at scale)."""
+    C, cids = ivf_centroids(emb, n_cells, key, vec)
+    q = np.asarray(qvec, dtype=np.float64)
+    s = (C @ q) / np.linalg.norm(C, axis=1).clip(min=1e-12)
+    order = np.lexsort((cids, -s))[:n_probe]  # score desc, cid asc ties
+    probes = [int(cids[i]) for i in order]
+    assigned = ivf_assign(emb, C, cids, key, vec)
+    cand = emb.join(assigned.filter(F.col("cell").isin(probes)), key)
+    return cosine_topk(cand, qvec, k, key, vec)
+
+
 def batch_cosine_topk(emb: DataFrame, queries: np.ndarray, k: int = 10,
                       key: str = "vec_id", vec: str = "embedding") -> DataFrame:
     """Many-query exact top-k in one pass: mapInPandas matmul against a

@@ -107,6 +107,23 @@ def test_lsh_topk_recall(spark, emb_df):
     assert recall >= 0.7, (exact, approx)
 
 
+def test_ivf_topk_recall(spark, emb_df):
+    q = emb_df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb_df, list(q), k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_cosine_topk(
+        emb_df, list(q), k=10, n_cells=8, n_probe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (exact, approx)
+    # every vector lands in exactly one cell, cells cover the corpus
+    C, cids = similarity.ivf_centroids(emb_df, 8)
+    assigned = similarity.ivf_assign(emb_df, C, cids)
+    n = emb_df.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert set(r["cell"] for r in assigned.select("cell").distinct().collect()) \
+        <= set(int(c) for c in cids)
+
+
 def test_batch_cosine_topk(spark, emb_df):
     rows = emb_df.filter(F.col("vec_id").isin([0, 1])).orderBy("vec_id").collect()
     qm = np.array([rows[0]["embedding"], rows[1]["embedding"]])
@@ -169,3 +186,40 @@ def test_multimodal_frame_plan(spark):
 def test_real_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_image(b"xx")
+
+def test_transitive_closure_small(spark):
+    """Closure of a 6-node chain-with-branch equals the python-computed
+    reachability set."""
+    from hayoo_spark.ops import graph
+
+    e = [(1, 0), (2, 0), (3, 1), (4, 1), (5, 3)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {(r["src"], r["dst"])
+           for r in graph.transitive_closure(edges).collect()}
+    adj = {}
+    for s, d in e:
+        adj.setdefault(s, set()).add(d)
+    want = set()
+    def reach(n):
+        out = set()
+        for d in adj.get(n, ()):  # DFS
+            out |= {d} | reach(d)
+        return out
+    for n in range(6):
+        want |= {(n, d) for d in reach(n)}
+    assert got == want
+
+
+def test_dependents_rank_satisfies_recursion(spark):
+    """rank(p) == 1 + 0.5 * sum over edges q->p of rank(q) — the
+    reference's defining equation (PackageRank.hs:248-261)."""
+    from hayoo_spark.ops import graph
+
+    e = [(1, 0), (2, 0), (3, 1), (4, 1), (5, 3)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(e, "src long, dst long")
+    ranks = {r["node"]: r["rank"]
+             for r in graph.dependents_rank(nodes, edges).collect()}
+    for p in range(6):
+        inc = sum(ranks[q] for q, d in e if d == p)
+        assert abs(ranks[p] - (1.0 + 0.5 * inc)) < 1e-12, (p, ranks)
