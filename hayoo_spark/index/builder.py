@@ -184,7 +184,8 @@ def field_tokens_col(f: FieldSpec):
 
 def prepare_docs(pages: DataFrame, n_segments: int,
                  parallelism: int | None = None,
-                 fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS) -> DataFrame:
+                 fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
+                 drop_empty: bool = False) -> DataFrame:
     """pages -> deduped, segmented, extracted, tokenized docs.
 
     - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133):
@@ -225,6 +226,16 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     for f in fields:
         out = out.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
                  .withColumn(f"dl_{f.name}", F.size(f"tokens_{f.name}").cast("long"))
+    if drop_empty:
+        # boring-doc filter (A8, FctIndexerCore.hs:84-111): drop docs
+        # whose every DEFAULT field is empty — they can never score.
+        # Opt-in: filter-only queries (lang:/url:/range) stop matching
+        # such docs, which is a semantics choice the caller makes.
+        keep = F.lit(False)
+        for f in fields:
+            if f.default:
+                keep = keep | (F.col(f"dl_{f.name}") > 0)
+        out = out.filter(keep)
     return out.withColumn("doc_id", (F.row_number().over(w_seg) - 1).cast("long"))
 
 
@@ -364,6 +375,7 @@ def build_index(
     segments_per_batch: int | None = None,
     resume: bool = False,
     fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
+    drop_empty: bool = False,
 ) -> dict:
     """Build (or resume) the index.  Returns build metrics.
 
@@ -387,6 +399,8 @@ def build_index(
                        key=lambda r: r["fkey"])
         fields = tuple(FieldSpec(r["field"], r["weight"], r["is_default"],
                                  r["source"]) for r in srows)
+        if "drop_empty" in srows[0].asDict():
+            drop_empty = bool(srows[0]["drop_empty"])
 
     pages = spark.read.parquet(pages_path)
     # tokenized docs feed the stats pass AND every segment batch:
@@ -396,7 +410,8 @@ def build_index(
     # extraction parallelism comes from input splits (session sets
     # spark.sql.files.maxPartitionBytes small enough locally); an
     # explicit repartition would pay an extra full exchange of raw html
-    docs = prepare_docs(pages, n_segments, fields=fields) \
+    docs = prepare_docs(pages, n_segments, fields=fields,
+                        drop_empty=drop_empty) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase_t: dict[str, float] = {}
@@ -425,11 +440,13 @@ def build_index(
             "n_docs": np.full(len(fields), int(n_docs), np.int64),
             "avgdl": [avgdl[f.name] for f in fields],
             "total_tokens": [int(a[f"tot_{f.name}"] or 0) for f in fields],
+            "drop_empty": [bool(drop_empty)] * len(fields),
         }), pa.schema([
             ("field", pa.string()), ("fkey", pa.int32()),
             ("weight", pa.float64()), ("is_default", pa.bool_()),
             ("source", pa.string()), ("n_docs", pa.int64()),
             ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
+            ("drop_empty", pa.bool_()),
         ]))
 
     phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)

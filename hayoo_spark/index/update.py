@@ -104,6 +104,8 @@ def update_index(
         build_kwargs["fields"] = tuple(
             FieldSpec(r["field"], r["weight"], r["is_default"], r["source"])
             for r in srows)
+        if "drop_empty" in srows[0].asDict():
+            build_kwargs.setdefault("drop_empty", bool(srows[0]["drop_empty"]))
     shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
 
     build_index(spark, pages_path, index_dir, n_segments=n_segments,

@@ -83,9 +83,24 @@ def _field_text(row, f: FieldSpec, from_html: bool) -> tuple[str, bool]:
 def build_oracle_index(
     pages: pd.DataFrame, from_html: bool = False,
     fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
+    drop_empty: bool = False,
 ) -> OracleIndex:
     dedup = pages.drop_duplicates(subset=["url"], keep="first")
     dedup = dedup.sort_values("url", kind="mergesort").reset_index(drop=True)
+    if drop_empty:
+        # boring-doc filter (A8): drop docs whose every default field is
+        # empty — mirrors builder.prepare_docs(drop_empty=True)
+        def _any_default_tokens(row) -> bool:
+            for f in fields:
+                if not f.default:
+                    continue
+                text, lower = _field_text(row, f, from_html)
+                if tokenize_py(text, lowercase=lower):
+                    return True
+            return False
+
+        keep = dedup.apply(_any_default_tokens, axis=1)
+        dedup = dedup[keep].reset_index(drop=True)
     n = len(dedup)
     postings: dict = {}
     positions: dict = {}

@@ -114,3 +114,28 @@ def test_unsalted_build_same_results(spark, small_pages_path, tmp_path_factory, 
     ea, eb = SearchEngine(spark, a), SearchEngine(spark, b)
     for q in ["baba", "baba OR bibaba", "baba AND bibaba"]:
         assert ea.search(q, k=10) == eb.search(q, k=10)
+
+
+def test_drop_empty_boring_docs(spark, small_pages_path, tmp_path_factory):
+    """A8 boring-doc filter (opt-in): docs with no default-field tokens
+    are dropped at build time; scores stay rank-identical to an oracle
+    built with the same rule (corpus stats shift because N changes)."""
+    import pandas as pd
+
+    from hayoo_spark import oracle
+    from hayoo_spark.query.engine import SearchEngine
+
+    d = tmp_path_factory.mktemp("boring")
+    ix = str(d / "ix")
+    builder.build_index(spark, small_pages_path, ix, n_segments=4,
+                        drop_empty=True)
+    eng = SearchEngine(spark, ix)
+    assert eng.search("url:https://edge.org/empty", k=5) == []
+    pdf = pd.read_parquet(small_pages_path)
+    oix = oracle.build_oracle_index(pdf, from_html=True, drop_empty=True)
+    full = oracle.build_oracle_index(pdf, from_html=True)
+    assert eng.n_docs == oix.n_docs < full.n_docs
+    for q in ["baba", "baba OR bibaba", "lang:en OR lang:de"]:
+        got = eng.search(q, k=10)
+        want = oracle.search(oix, q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in want], q
