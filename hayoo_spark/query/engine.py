@@ -50,7 +50,8 @@ DICT_CACHE_BYTES = 256 * 1024 * 1024
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 mode: str = "local"):
+                 mode: str = "local",
+                 dict_cache_bytes: int = DICT_CACHE_BYTES):
         from ..index import snapshot
         self.spark = spark
         # a snapshot root resolves to its live version ONCE here — the
@@ -83,7 +84,7 @@ class SearchEngine:
         self._dict: dict[str, tuple[list[str], np.ndarray]] | None = None
         size = sum(os.path.getsize(p) for p in glob.glob(
             os.path.join(index_dir, "terms", "*.parquet")))
-        if size <= DICT_CACHE_BYTES:
+        if size <= dict_cache_bytes:
             import pyarrow.parquet as pq
             t = pq.read_table(os.path.join(index_dir, "terms"),
                               columns=["field", "term", "df"]).to_pandas()
