@@ -390,9 +390,13 @@ def q_sessionize_stream(spark, sf_dir):
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(300)
     shutil.rmtree(d, ignore_errors=True)
-    # update mode: one row per user per touching micro-batch; the last
-    # emission per user is the drained total
-    out = spark.table(name).toPandas().groupby("user_id").last().reset_index()
+    # update mode: one row per user per touching micro-batch; n_events
+    # grows monotonically per user, so the max-n_events row is the
+    # drained total (order-independent — the memory sink's collected row
+    # order is not a contract, ADVICE r2)
+    pdf = spark.table(name).toPandas()
+    out = pdf.loc[pdf.groupby("user_id")["n_events"].idxmax()] \
+        .sort_values("user_id").reset_index(drop=True)
     return spark.createDataFrame(
         out, "user_id long, n_sessions long, n_events long")
 

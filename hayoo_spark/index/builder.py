@@ -142,6 +142,12 @@ def manifest_schema():
         ("postings_per_sec", pa.float64()),
         ("skew_ratio", pa.float64()),
         ("enc_avgdl", pa.float64()),
+        # per-FIELD avgdl at encode time (JSON map field->avgdl): the
+        # engine needs per-field drift scales — a single min-over-fields
+        # scalar inflates bounds by max(avgdl)/min(avgdl) (~body/title,
+        # 30-100x) on any multi-field index and disables block-max
+        # pruning entirely (ADVICE r2)
+        ("enc_avgdl_json", pa.string()),
         ("commit_ts", pa.timestamp("us", tz="UTC")),
     ])
 
@@ -461,9 +467,6 @@ def build_index(
     batch_size = segments_per_batch or max(1, len(pending))
     metrics = {"segments_built": 0, "n_docs": int(n_docs),
                "avgdl": {k: round(v, 3) for k, v in avgdl.items()}}
-    # conservative drift reference: the smallest field avgdl at encode
-    # (engine scales stored bounds by max-now / min-enc; update.py)
-    enc_avgdl = min(avgdl.values()) if avgdl else 1.0
 
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
@@ -473,7 +476,7 @@ def build_index(
                                    block_size, salt_df_threshold, n_salts,
                                    phase_t)
         t1 = time.monotonic()
-        _commit_manifest(spark, index_dir, batch, t1 - t0, enc_avgdl,
+        _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
                          seg_docs=seg_docs, combined=combined)
         combined.unpersist()
         phase_t["manifest_sec"] = round(
@@ -588,9 +591,10 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
                      seg_docs=None, combined=None):
     """Per-partition checkpoint lineage + metrics (FIXTURES.md §4).
 
-    ``enc_avgdl`` records the global avgdl the segment's block bounds
+    ``enc_avgdl`` is the PER-FIELD avgdl map the segment's block bounds
     were encoded under — incremental updates shift corpus stats, and the
-    query engine uses this to scale stale bounds safely (update.py).
+    query engine uses this to scale stale bounds safely, per field
+    (update.py; a scalar is accepted for back-compat).
     ``seg_docs`` (the cached batch docs DF) and ``combined`` (the
     persisted per-(doc,term) relation) avoid re-reading what was just
     written: a (segment, term) row count over `combined` IS the
@@ -621,6 +625,11 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
     merged = fp.join(pm, "segment", "full_outer").collect()
     rows = {r["segment"]: r for r in merged}
     prows = rows
+    import json as _json
+    if not isinstance(enc_avgdl, dict):
+        enc_avgdl = {"text": float(enc_avgdl)}
+    enc_min = min(enc_avgdl.values()) if enc_avgdl else 1.0
+    enc_json = _json.dumps({k: float(v) for k, v in sorted(enc_avgdl.items())})
     out = []
     per_seg = elapsed / max(1, len(batch))
     for s in batch:
@@ -636,10 +645,11 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
             ndocs / per_seg if per_seg else 0.0,
             nposts / per_seg if per_seg else 0.0,
             float(p["skew_ratio"]) if p and p["skew_ratio"] else 1.0,
-            float(enc_avgdl),
+            float(enc_min),
+            enc_json,
         ))
     import datetime as _dt
-    cols = list(zip(*out)) if out else [[] for _ in range(9)]
+    cols = list(zip(*out)) if out else [[] for _ in range(10)]
     pdf = pd.DataFrame({
         "segment_id": list(cols[0]),
         "partition_id": np.asarray(cols[1], np.int32),
@@ -650,6 +660,7 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
         "postings_per_sec": np.asarray(cols[6], np.float64),
         "skew_ratio": np.asarray(cols[7], np.float64),
         "enc_avgdl": np.asarray(cols[8], np.float64),
+        "enc_avgdl_json": list(cols[9]),
     })
     pdf["commit_ts"] = pd.Timestamp(_dt.datetime.now(_dt.timezone.utc))
     write_meta_parquet(os.path.join(index_dir, "manifest"), pdf,

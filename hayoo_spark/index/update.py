@@ -18,11 +18,12 @@ unit of replacement is the *document segment* (hash(url) partition):
 
 Correctness under drifted stats: rebuilt segments encode block bounds
 under the NEW avgdl; untouched segments keep bounds under their OLD
-avgdl (recorded per segment in the manifest as ``enc_avgdl``).  The
-query engine scales bounds by ``max(1, avgdl_now / min(enc_avgdl))``,
-which keeps block-max pruning admissible (see query/engine.py); exact
-scoring always uses current stats, so results stay rank-identical to a
-full rebuild (tested in tests/test_update.py).
+avgdl (recorded per segment per field in the manifest as
+``enc_avgdl_json``).  The query engine scales each field's bounds by
+``max(1, avgdl_now[f] / min(enc_avgdl[f]))``, which keeps block-max
+pruning admissible (see query/engine.py); exact scoring always uses
+current stats, so results stay rank-identical to a full rebuild
+(tested in tests/test_update.py).
 """
 
 from __future__ import annotations
@@ -86,7 +87,11 @@ def update_index(
     kept = man.toPandas()
     shutil.rmtree(man_path, ignore_errors=True)
     if len(kept):
+        import json
         from .builder import manifest_schema, write_meta_parquet
+        if "enc_avgdl_json" not in kept.columns:  # pre-r3 manifest layout
+            kept["enc_avgdl_json"] = kept["enc_avgdl"].map(
+                lambda v: json.dumps({"text": float(v)}))
         write_meta_parquet(man_path, kept, manifest_schema())
     else:
         os.makedirs(man_path, exist_ok=True)

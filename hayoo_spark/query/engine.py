@@ -69,14 +69,15 @@ class SearchEngine:
         self.default_fields = tuple(
             r["field"] for r in srows if r["is_default"])
         # incremental updates shift avgdl after some segments were encoded;
-        # stored block bounds scale by at most avgdl_now/avgdl_enc, so this
-        # factor keeps block-max pruning admissible (index/update.py).
-        # enc_avgdl records the MINIMUM field avgdl at encode; max-now /
-        # min-enc dominates every per-field drift ratio (conservative).
+        # stored block bounds scale by at most avgdl_now[f]/avgdl_enc[f]
+        # PER FIELD, so these factors keep block-max pruning admissible
+        # (index/update.py).  The manifest records the per-field encode
+        # avgdl map (enc_avgdl_json); the per-field min over segments
+        # covers every segment.  A cross-field ratio (max-now/min-enc)
+        # would inflate bounds ~body-avgdl/title-avgdl on multi-field
+        # indexes and disable pruning outright (ADVICE r2).
         man = spark.read.parquet(os.path.join(index_dir, "manifest"))
-        max_now = max(self.avgdl.values())
-        min_enc = man.agg(F.min("enc_avgdl")).collect()[0][0] or max_now
-        self.ub_scale = max(1.0, max_now / float(min_enc))
+        self.ub_scale = self._ub_scales(man)
 
         self._terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
         # driver dict: per field, term-sorted arrays (cutover to the
@@ -93,9 +94,33 @@ class SearchEngine:
                 sub = sub.sort_values("term", kind="mergesort")
                 self._dict[f] = (sub["term"].tolist(),
                                  sub["df"].to_numpy(np.int64))
+        # segment universe comes from docs/, a SUPERSET of postings/: a
+        # segment whose docs all tokenize to empty (drop_empty=False)
+        # writes no postings dir, but its docs must stay visible to
+        # filter-only branches of mixed queries (ADVICE r2)
         self._segments = sorted(
             int(os.path.basename(p).split("=")[1]) for p in
-            glob.glob(os.path.join(index_dir, "postings", "segment=*")))
+            glob.glob(os.path.join(index_dir, "docs", "segment=*")))
+
+    def _ub_scales(self, man) -> dict[str, float]:
+        """Per-field admissibility factors for stored block bounds."""
+        import json
+        min_enc: dict[str, float] = {}
+        if "enc_avgdl_json" in man.columns:
+            for r in man.select("enc_avgdl_json").collect():
+                for f, v in (json.loads(r[0]) if r[0] else {}).items():
+                    min_enc[f] = min(min_enc.get(f, float("inf")), float(v))
+        if not min_enc:
+            # legacy scalar layout: one conservative cross-field factor
+            max_now = max(self.avgdl.values())
+            m = man.agg(F.min("enc_avgdl")).collect()[0][0] or max_now
+            s = max(1.0, max_now / float(m))
+            return {f: s for f in self.avgdl}
+        return {
+            f: max(1.0, now / min_enc[f])
+            if min_enc.get(f, 0.0) > 0 else 1.0
+            for f, now in self.avgdl.items()
+        }
 
     # ---------------- planning helpers ----------------
 
@@ -330,8 +355,10 @@ class SearchEngine:
                 pdf = all_pdf.iloc[0:0]
             docs_pdf = load_segment_docs(docs_root, seg)
             # mtime in the cache key invalidates decoded postings when a
-            # segment is rebuilt by an incremental update
-            mt = os.path.getmtime(os.path.join(post_root, f"segment={seg}"))
+            # segment is rebuilt by an incremental update (a segment
+            # whose docs all tokenized empty has no postings dir at all)
+            pdir = os.path.join(post_root, f"segment={seg}")
+            mt = os.path.getmtime(pdir) if os.path.exists(pdir) else 0.0
             # avgdl in the key: salted-term merges rebuild block bounds
             # under the CURRENT avgdl — an incremental update to OTHER
             # segments shifts global avgdl without touching this

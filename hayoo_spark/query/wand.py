@@ -384,7 +384,7 @@ class SegmentEvaluator:
     match-only, the reference's filter contexts)."""
 
     def __init__(self, seg: SegmentData, idf: dict, avgdl,
-                 ub_scale: float = 1.0, weights: dict | None = None,
+                 ub_scale=1.0, weights: dict | None = None,
                  default_fields: tuple[str, ...] = ("text",)):
         self.seg = seg
         # single-field back-compat: scalar avgdl / str-keyed idf maps
@@ -399,8 +399,11 @@ class SegmentEvaluator:
             {f: 1.0 for f in avgdl}
         self.default_fields = tuple(
             f for f in default_fields if f in self.weights)
-        # admissibility factor for stored block bounds when corpus stats
-        # moved since encode (incremental updates); 1.0 for fresh builds
+        # PER-FIELD admissibility factors for stored block bounds when
+        # corpus stats moved since encode (incremental updates); all 1.0
+        # for fresh builds.  A scalar is broadcast (back-compat).
+        if not isinstance(ub_scale, dict):
+            ub_scale = {f: float(ub_scale) for f in avgdl}
         self.ub_scale = ub_scale
 
     # ---------- generic exhaustive evaluation (full query surface) ----------
@@ -657,11 +660,12 @@ class SegmentEvaluator:
         bounds = np.unique(np.concatenate([t[5] for t in terms]))  # block_last unions
         # per interval upper bound = sum over lists of covering block ub
         iv_ub = np.zeros(len(bounds))
-        # bounds scaled by both the stats-drift factor and the segment's
-        # max doc boost so pruning stays admissible under boosted scores
-        bscale = self.ub_scale * s.max_boost
         for f, t, boost, ids, tfs, blast, bub in terms:
             idf = self.idf.get((f, t), 0.0)
+            # bounds scaled by the OWNING FIELD's stats-drift factor and
+            # the segment's max doc boost so pruning stays admissible
+            # under drifted stats and boosted scores
+            bscale = self.ub_scale.get(f, 1.0) * s.max_boost
             cover = np.searchsorted(blast, bounds, side="left")
             valid = cover < len(blast)
             iv_ub[valid] += boost * idf * bscale * bub[cover[valid]]

@@ -116,6 +116,64 @@ def test_unsalted_build_same_results(spark, small_pages_path, tmp_path_factory, 
         assert ea.search(q, k=10) == eb.search(q, k=10)
 
 
+def test_all_empty_segment_visible_to_mixed_queries(spark, tmp_path_factory):
+    """A segment whose every doc tokenizes to empty writes NO postings
+    dir (drop_empty=False).  Its docs must still match the filter-only
+    branch of a mixed query like ``term OR lang:de`` in both modes —
+    the engine's segment universe comes from docs/, not postings/
+    (ADVICE r2)."""
+    import pandas as pd
+
+    from hayoo_spark.query.engine import SearchEngine
+
+    n_seg = 8
+    # pick urls landing in three DISTINCT segments, the empty-text doc
+    # alone in its own (segment = xxhash64(url) mod n_seg, JVM hash)
+    cands = [f"https://seg.org/p/{i}" for i in range(64)]
+    seg_of = {
+        r["url"]: r["seg"]
+        for r in spark.createDataFrame([(u,) for u in cands], "url string")
+        .select("url", F.pmod(F.xxhash64("url"), F.lit(n_seg)).cast("int")
+                .alias("seg")).collect()
+    }
+    by_seg: dict[int, list[str]] = {}
+    for u, s in seg_of.items():
+        by_seg.setdefault(s, []).append(u)
+    segs = sorted(by_seg)[:3]
+    u_text1, u_text2, u_empty = (by_seg[segs[0]][0], by_seg[segs[1]][0],
+                                 by_seg[segs[2]][0])
+
+    rows = [
+        fixtures._row(u_text1, pd.Timestamp("2024-03-01").to_pydatetime(),
+                      "alphaword betaword", "en"),
+        fixtures._row(u_text2, pd.Timestamp("2024-03-02").to_pydatetime(),
+                      "alphaword gammaword", "en"),
+        # tokenizes to nothing (all tokens shorter than MIN_TOKEN_LEN)
+        fixtures._row(u_empty, pd.Timestamp("2024-03-03").to_pydatetime(),
+                      "a b 1", "de"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                      "lang", "tag"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    d = tmp_path_factory.mktemp("emptyseg")
+    p = str(d / "pages.parquet")
+    pdf.to_parquet(p, index=False)
+    ix = str(d / "ix")
+    builder.build_index(spark, p, ix, n_segments=n_seg)
+
+    import glob as g
+    import os as o
+    post_segs = {int(o.path.basename(x).split("=")[1]) for x in
+                 g.glob(f"{ix}/postings/segment=*")}
+    assert segs[2] not in post_segs, "fixture must produce a docs-only segment"
+
+    eng = SearchEngine(spark, ix)
+    for mode in ("local", "spark"):
+        got = {u for u, _ in eng.search("alphaword OR lang:de", k=10,
+                                        mode=mode)}
+        assert got == {u_text1, u_text2, u_empty}, mode
+
+
 def test_drop_empty_boring_docs(spark, small_pages_path, tmp_path_factory):
     """A8 boring-doc filter (opt-in): docs with no default-field tokens
     are dropped at build time; scores stay rank-identical to an oracle

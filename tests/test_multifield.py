@@ -120,6 +120,16 @@ def test_field_dictionaries_are_separate(mf_engine):
     assert set(mf_engine._dict["tag"][0]) == {"alpha", "beta", "gamma"}
 
 
+def test_fresh_multifield_ub_scale_is_one(mf_engine):
+    """A fresh multi-field build has zero stat drift, so every field's
+    block-bound admissibility factor must be exactly 1.0 — a cross-field
+    factor (max avgdl / min avgdl ~ body/title) would inflate bounds
+    30-100x and silently disable block-max pruning (ADVICE r2)."""
+    assert set(mf_engine.ub_scale) == {f.name for f in FIELDS}
+    assert all(v == 1.0 for v in mf_engine.ub_scale.values()), \
+        mf_engine.ub_scale
+
+
 def test_update_preserves_field_schema(spark, mf_pages, tmp_path_factory,
                                        mf_oracle):
     """Incremental update on a multi-field index keeps the schema (read

@@ -77,8 +77,9 @@ def test_sessionize_stream_matches_batch_fold(spark, events_pdf, stream_dir):
     got = _drain(spark, "sess_stream", streaming.sessionize_stream(stream),
                  "update")
     # update mode emits one row per user per touching micro-batch:
-    # the LAST emission per user is the drained total
-    got = (got.groupby("user_id").last().reset_index()
+    # n_events is monotone per user, so the max-n_events row is the
+    # drained total (row order from the memory sink is not a contract)
+    got = (got.loc[got.groupby("user_id")["n_events"].idxmax()]
            .sort_values("user_id").reset_index(drop=True))
 
     ev = spark.createDataFrame(events_pdf)
