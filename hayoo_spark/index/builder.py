@@ -262,15 +262,36 @@ def _combine_occurrences(batches):
     deltas within), so the encode step just concatenates them and every
     decode path is unchanged (resume builds stay bit-equal; tested).
 
-    Batches are concatenated per input partition: a doc's occurrences
-    must not straddle an Arrow batch boundary or the group would emit
-    twice.  Partition size is bounded by the input split
-    (maxPartitionBytes), so this holds at cluster scale.
+    Memory is bounded PER ARROW BATCH, not per partition: a doc's
+    occurrence rows are contiguous in the partition stream (each input
+    row posexplodes into one consecutive run), so only the trailing
+    doc's rows can straddle a batch boundary.  Each batch flushes every
+    complete doc and carries the open trailing (segment, doc_id) run
+    into the next batch — a python worker holds ~one Arrow batch plus
+    one document's occurrences, instead of the whole input split's
+    occurrence stream (~dl x larger than the split bytes; ADVICE r2).
     """
-    pdfs = [p for p in batches if len(p)]
-    if not pdfs:
-        return
-    pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        seg = pdf["segment"].to_numpy()
+        doc = pdf["doc_id"].to_numpy()
+        # the trailing doc's run is a suffix (contiguity by construction)
+        tail = (seg == seg[-1]) & (doc == doc[-1])
+        cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+        carry = pdf.iloc[cut:]
+        if cut:
+            yield _combine_span(pdf.iloc[:cut])
+    if carry is not None and len(carry):
+        yield _combine_span(carry)
+
+
+def _combine_span(pdf: pd.DataFrame):
+    """Combine one doc-complete span of occurrence rows (see
+    _combine_occurrences) into per-(doc, term) posting rows."""
     n = len(pdf)
     seg = pdf["segment"].to_numpy(np.int64)
     doc = pdf["doc_id"].to_numpy(np.int64)
@@ -295,7 +316,7 @@ def _combine_occurrences(batches):
     bends = np.cumsum(nbytes)[ends - 1]
     bstarts = np.concatenate(([0], bends[:-1]))
     mv = memoryview(buf)
-    yield pd.DataFrame({
+    return pd.DataFrame({
         "segment": seg_s[starts].astype(np.int32),
         "doc_id": doc_s[starts],
         "dl": dl_s[starts],
@@ -423,65 +444,59 @@ def build_index(
     phase_t: dict[str, float] = {}
     t_phase = time.monotonic()
 
-    if srows is not None:
-        n_docs = srows[0]["n_docs"]
-        avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
-    else:
-        aggs = [F.count("*").alias("n_docs")]
-        for f in fields:
-            aggs.append(F.sum(f"dl_{f.name}").alias(f"tot_{f.name}"))
-            aggs.append(F.avg(f"dl_{f.name}").alias(f"avg_{f.name}"))
-        a = docs.agg(*aggs).collect()[0]
-        n_docs = a["n_docs"]
-        avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0) for f in fields}
-        import pyarrow as pa
-        import shutil as _sh
-        _sh.rmtree(stats_path, ignore_errors=True)
-        write_meta_parquet(stats_path, pd.DataFrame({
-            "field": [f.name for f in fields],
-            "fkey": np.arange(len(fields), dtype=np.int32),
-            "weight": [float(f.weight) for f in fields],
-            "is_default": [bool(f.default) for f in fields],
-            "source": [f.source for f in fields],
-            "n_docs": np.full(len(fields), int(n_docs), np.int64),
-            "avgdl": [avgdl[f.name] for f in fields],
-            "total_tokens": [int(a[f"tot_{f.name}"] or 0) for f in fields],
-            "drop_empty": [bool(drop_empty)] * len(fields),
-        }), pa.schema([
-            ("field", pa.string()), ("fkey", pa.int32()),
-            ("weight", pa.float64()), ("is_default", pa.bool_()),
-            ("source", pa.string()), ("n_docs", pa.int64()),
-            ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
-            ("drop_empty", pa.bool_()),
-        ]))
-
-    phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
-
     manifest_path = os.path.join(index_dir, "manifest")
     done: set[int] = set()
     if resume and os.path.exists(manifest_path):
         done = {r["partition_id"] for r in
                 spark.read.parquet(manifest_path).select("partition_id").collect()}
-
     pending = [s for s in range(n_segments) if s not in done]
     batch_size = segments_per_batch or max(1, len(pending))
-    metrics = {"segments_built": 0, "n_docs": int(n_docs),
-               "avgdl": {k: round(v, 3) for k, v in avgdl.items()}}
+
+    # global stats (N, per-field avgdl) must be frozen before any encode.
+    # Fast path: a fresh build whose FIRST batch covers the whole corpus
+    # folds the stats aggregation into the docs-write job via observe()
+    # — one corpus pass instead of two (a separate agg job was pure
+    # fixed cost in the N-vs-4N scaling measurement).  Resume reads the
+    # frozen stats back; partial-coverage builds (update_index rebuilds
+    # a segment subset after deleting stats/) still need the full agg.
+    fused_stats = (srows is None and len(pending) == n_segments
+                   and batch_size >= len(pending) and pending)
+    if srows is not None:
+        n_docs = srows[0]["n_docs"]
+        avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
+    elif not fused_stats:
+        a = docs.agg(*_stats_aggs(fields)).collect()[0]
+        n_docs, avgdl = _write_stats(a, fields, drop_empty, stats_path)
+    else:
+        n_docs, avgdl = -1, {}  # computed inside the first batch's write
+
+    phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
+
+    metrics = {"segments_built": 0}
 
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
         t0 = time.monotonic()
         seg_docs = docs.filter(F.col("segment").isin(batch))
-        combined = _build_segments(spark, seg_docs, index_dir, avgdl, fields,
-                                   block_size, salt_df_threshold, n_salts,
-                                   phase_t)
+        obs = _write_docs(seg_docs, index_dir, fields, phase_t,
+                          observe_stats=fused_stats and i == 0)
+        if obs is not None:
+            n_docs, avgdl = _write_stats(obs.get, fields, drop_empty,
+                                         stats_path)
+        combined, per_term = _encode_postings(
+            spark, seg_docs, index_dir, avgdl, fields, block_size,
+            salt_df_threshold, n_salts, phase_t)
         t1 = time.monotonic()
         _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
-                         seg_docs=seg_docs, combined=combined)
+                         seg_docs=seg_docs, per_term=per_term)
+        per_term.unpersist()
         combined.unpersist()
         phase_t["manifest_sec"] = round(
             phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
         metrics["segments_built"] += len(batch)
+
+    metrics.update({"n_docs": int(n_docs),
+                    "avgdl": {k: round(v, 3) for k, v in avgdl.items()}})
 
     docs.unpersist()
     t1 = time.monotonic()
@@ -494,21 +509,72 @@ def build_index(
 N_BUCKETS = 32  # encode-groups per segment; bounds Arrow group size
 
 
-def _build_segments(spark, seg_docs, index_dir, avgdl, fields, block_size,
-                    salt_df_threshold, n_salts, phase_t=None):
-    if phase_t is None:
-        phase_t = {}
+def _stats_aggs(fields):
+    """Aggregate expressions for the global stats pass (N, per-field
+    token totals and avgdl)."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for f in fields:
+        aggs.append(F.sum(f"dl_{f.name}").alias(f"tot_{f.name}"))
+        aggs.append(F.avg(f"dl_{f.name}").alias(f"avg_{f.name}"))
+    return aggs
+
+
+def _write_stats(a, fields, drop_empty, stats_path):
+    """Freeze global stats to ``stats/``; returns (n_docs, avgdl map).
+    ``a`` is a Row or observation dict holding the _stats_aggs values."""
+    import pyarrow as pa
+    import shutil as _sh
+    n_docs = a["n_docs"]
+    avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0) for f in fields}
+    _sh.rmtree(stats_path, ignore_errors=True)
+    write_meta_parquet(stats_path, pd.DataFrame({
+        "field": [f.name for f in fields],
+        "fkey": np.arange(len(fields), dtype=np.int32),
+        "weight": [float(f.weight) for f in fields],
+        "is_default": [bool(f.default) for f in fields],
+        "source": [f.source for f in fields],
+        "n_docs": np.full(len(fields), int(n_docs), np.int64),
+        "avgdl": [avgdl[f.name] for f in fields],
+        "total_tokens": [int(a[f"tot_{f.name}"] or 0) for f in fields],
+        "drop_empty": [bool(drop_empty)] * len(fields),
+    }), pa.schema([
+        ("field", pa.string()), ("fkey", pa.int32()),
+        ("weight", pa.float64()), ("is_default", pa.bool_()),
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
+        ("drop_empty", pa.bool_()),
+    ]))
+    return n_docs, avgdl
+
+
+def _write_docs(seg_docs, index_dir, fields, phase_t,
+                observe_stats: bool = False):
+    """Persist one batch's doc tables.  With ``observe_stats`` the
+    global stats aggregates ride along on the SAME job (Observation) —
+    no separate corpus pass; returns the Observation (else None)."""
     t0 = time.monotonic()
     doc_cols = ["segment", "doc_id", "url", "warc_ts", "lang", "boost"] + \
         [f"dl_{f.name}" for f in fields]
-    (seg_docs
-     .select(*doc_cols)
+    df = seg_docs.select(*doc_cols)
+    obs = None
+    if observe_stats:
+        from pyspark.sql import Observation
+        obs = Observation()
+        df = df.observe(obs, *_stats_aggs(fields))
+    (df
      .repartition("segment")
      .sortWithinPartitions("doc_id")
      .write.mode("append").partitionBy("segment")
      .parquet(os.path.join(index_dir, "docs")))
     phase_t["docs_write_sec"] = round(
         phase_t.get("docs_write_sec", 0.0) + time.monotonic() - t0, 2)
+    return obs
+
+
+def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
+                     salt_df_threshold, n_salts, phase_t=None):
+    if phase_t is None:
+        phase_t = {}
     t0 = time.monotonic()
 
     # ONE shuffle for the whole posting build, over COMBINED rows: the
@@ -517,9 +583,9 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, fields, block_size,
     # (_combine_occurrences) BEFORE the exchange, so shuffle volume is
     # ~avg-tf smaller than shipping tokens.  Term strings are joined
     # back onto the ~1000x smaller encoded output from a distinct-terms
-    # dictionary.  `combined` is persisted because three consumers read
-    # it (heavy-term scan, encode, manifest metrics) and recomputing it
-    # would re-run the python combine per consumer.
+    # dictionary.  `combined` is persisted because two consumers read it
+    # (the per-term salting/metrics aggregation and the encode) and
+    # recomputing it would re-run the python combine per consumer.
     from pyspark import StorageLevel
     fkeys = fkey_of(fields)
     occ_parts, dict_parts = [], []
@@ -549,12 +615,18 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, fields, block_size,
     term_dict = term_dict.distinct() \
         .withColumn("term_h", F.xxhash64("field", "term"))
 
+    # per-(segment, term) relation feeds BOTH the heavy-term scan and the
+    # manifest metrics (df sums, skew) — persisted so that aggregation
+    # over the combined relation runs once, not once per consumer
+    per_term = (combined.groupBy("segment", "term_h")
+                .agg(F.count(F.lit(1)).alias("tdf"),
+                     F.sum("tf").alias("seg_cf"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
     # split by doc id so no encode group is unbounded.  AQE does not
-    # handle grouped-map skew, so this is explicit (SURVEY.md §4); the
-    # scan is a partial-aggregated sum over the combined relation.
-    heavy = (combined.groupBy("segment", "term_h")
-             .agg(F.sum("tf").alias("seg_cf"))
+    # handle grouped-map skew, so this is explicit (SURVEY.md §4).
+    heavy = (per_term
              .filter(F.col("seg_cf") > salt_df_threshold)
              .select("segment", "term_h"))
     comb = (
@@ -584,39 +656,35 @@ def _build_segments(spark, seg_docs, index_dir, avgdl, fields, block_size,
      .parquet(os.path.join(index_dir, "postings")))
     phase_t["encode_sec"] = round(
         phase_t.get("encode_sec", 0.0) + time.monotonic() - t0, 2)
-    return combined
+    return combined, per_term
 
 
 def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
-                     seg_docs=None, combined=None):
+                     seg_docs=None, per_term=None):
     """Per-partition checkpoint lineage + metrics (FIXTURES.md §4).
 
     ``enc_avgdl`` is the PER-FIELD avgdl map the segment's block bounds
     were encoded under — incremental updates shift corpus stats, and the
     query engine uses this to scale stale bounds safely, per field
     (update.py; a scalar is accepted for back-compat).
-    ``seg_docs`` (the cached batch docs DF) and ``combined`` (the
-    persisted per-(doc,term) relation) avoid re-reading what was just
-    written: a (segment, term) row count over `combined` IS the
-    per-term df, so postings totals and skew come from two cheap
-    aggregations over cached data instead of a parquet re-read of the
-    postings (was 26% of build wall-clock)."""
+    ``seg_docs`` (the cached batch docs DF) and ``per_term`` (the
+    persisted per-(segment,term) relation the salting scan already
+    materialized) avoid re-reading what was just written: per_term's
+    row count per term IS the per-term df, so postings totals and skew
+    come from one tiny aggregation over cached data instead of a
+    parquet re-read of the postings (was 26% of build wall-clock)."""
     if seg_docs is None:
         seg_docs = spark.read.parquet(os.path.join(index_dir, "docs")) \
             .filter(F.col("segment").isin(batch))
     fp = seg_docs.groupBy("segment").agg(
         F.count("*").alias("docs"),
         F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"))
-    if combined is None:
-        combined = (spark.read.parquet(os.path.join(index_dir, "postings"))
+    if per_term is None:
+        per_term = (spark.read.parquet(os.path.join(index_dir, "postings"))
                     .filter(F.col("segment").isin(batch))
-                    .select("segment", F.col("term").alias("term_h"), "df"))
-        pm_src = combined.groupBy("segment", "term_h") \
-            .agg(F.sum("df").alias("tdf"))
-    else:
-        pm_src = combined.groupBy("segment", "term_h") \
-            .agg(F.count("*").alias("tdf"))
-    pm = (pm_src
+                    .groupBy("segment", F.col("term").alias("term_h"))
+                    .agg(F.sum("df").alias("tdf")))
+    pm = (per_term
           .groupBy("segment")
           .agg(F.sum("tdf").alias("postings"),
                (F.max("tdf") / F.avg("tdf")).alias("skew_ratio")))

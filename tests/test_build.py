@@ -116,6 +116,32 @@ def test_unsalted_build_same_results(spark, small_pages_path, tmp_path_factory, 
         assert ea.search(q, k=10) == eb.search(q, k=10)
 
 
+def test_combine_is_batch_incremental(spark, tmp_path_factory):
+    """_combine_occurrences must not materialize a whole partition: with
+    a tiny Arrow batch size every doc (including the tf=10k heavy doc)
+    straddles many batch boundaries, and the carry-over logic must not
+    double-emit any (doc, term) group — the index must be bit-equal to
+    one built with the default batch size."""
+    root = tmp_path_factory.mktemp("combineinc")
+    p = str(root / "pages.parquet")
+    fixtures.make_pages(60).to_parquet(p, index=False)
+    a, b = str(root / "a"), str(root / "b")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    builder.build_index(spark, p, a, n_segments=3, salt_df_threshold=32,
+                        n_salts=4)
+    try:
+        spark.conf.set(key, "7")
+        builder.build_index(spark, p, b, n_segments=3, salt_df_threshold=32,
+                            n_salts=4)
+    finally:
+        spark.conf.set(key, old)
+    pa_, da = _snapshot(spark, a)
+    pb, db = _snapshot(spark, b)
+    pd.testing.assert_frame_equal(pa_, pb)
+    pd.testing.assert_frame_equal(da, db)
+
+
 def test_all_empty_segment_visible_to_mixed_queries(spark, tmp_path_factory):
     """A segment whose every doc tokenizes to empty writes NO postings
     dir (drop_empty=False).  Its docs must still match the filter-only
