@@ -183,19 +183,46 @@ def main():
         bi = build_once(pages_path, CPUS, os.path.join(tmp, "ix"))
         queries["index_build"] = round(time.monotonic() - t0, 3)
         eng = SearchEngine(spark, os.path.join(tmp, "ix"))
-        eng.search("baba", k=10)  # warm
-        lats = []
+        # serving-tier (local) mode: first run of each query is COLD
+        # (posting decode + dict/doc cache misses), then 3 warm reps;
+        # headline p50/p99 are over per-query MEDIAN-warm latencies —
+        # single-shot timings on this VM carry 2-2.5x contention noise
+        # and made r1->r2 latency comparisons meaningless (VERDICT r2)
+        cold, warm = [], []
         for q in ENGINE_QUERIES:
             t0 = time.monotonic()
             eng.search(q, k=20)
-            lats.append(time.monotonic() - t0)
-        lats.sort()
+            cold.append(time.monotonic() - t0)
+            reps = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                eng.search(q, k=20)
+                reps.append(time.monotonic() - t0)
+            warm.append(sorted(reps)[1])
+        # distributed (grouped-map) mode: the cluster fan-out path; one
+        # warm-up pass, then one timed rep (each costs a Spark job)
+        dist = []
+        for q in ENGINE_QUERIES:
+            eng.search(q, k=20, mode="spark")
+            t0 = time.monotonic()
+            eng.search(q, k=20, mode="spark")
+            dist.append(time.monotonic() - t0)
+
+        def pctl(xs, p):
+            xs = sorted(xs)
+            return round(1000 * xs[min(len(xs) - 1, int(p * len(xs)))], 1)
+
         index_metrics = {
             **bi,
-            "query_p50_ms": round(1000 * lats[len(lats) // 2], 1),
-            "query_p99_ms": round(1000 * lats[-1], 1),
+            "query_p50_ms": pctl(warm, 0.5),
+            "query_p99_ms": pctl(warm, 0.99),
+            "query_cold_p50_ms": pctl(cold, 0.5),
+            "query_cold_p99_ms": pctl(cold, 0.99),
+            "query_spark_p50_ms": pctl(dist, 0.5),
+            "query_spark_p99_ms": pctl(dist, 0.99),
         }
-        queries["engine_queries"] = round(sum(lats), 3)
+        queries["engine_queries"] = round(sum(cold), 3)
+        queries["engine_queries_warm"] = round(sum(warm), 3)
 
     scaling = None
     if DO_SCALING:
@@ -207,37 +234,55 @@ def main():
         lo_cores, hi_cores = int(pair[0]), int(pair[1])
         ratio = hi_cores / lo_cores
         # scaling needs enough work to amortize fixed per-run costs
-        # (job-submission latency, manifest commit, stats job setup are
-        # ~8s regardless of corpus size; at 250k docs they are <5% of
-        # the lo run, so the pair measures the engine, not the harness)
-        scale_docs = int(os.environ.get("HAYOO_SCALE_DOCS", "250000"))
+        # (job-submission latency, manifest commit are a few seconds
+        # regardless of corpus size; at 250k docs they are <5% of the
+        # lo run, so the pair measures the engine, not the harness)
+        scale_docs = max(BENCH_DOCS,
+                         int(os.environ.get("HAYOO_SCALE_DOCS", "250000")))
         # this VM has multi-minute host-contention windows that cut the
         # SAME build's throughput 2-2.5x (verified: identical code
         # measured 2278 and 5378 docs/s at 8 cpus ten minutes apart,
-        # steal%=0.0) — so retry the pair across windows, early-exit on
-        # a clean >=0.8 measurement, and report EVERY attempt.  The
-        # third attempt uses a smaller corpus to bound total wall time.
-        sizes = [max(BENCH_DOCS, scale_docs), max(BENCH_DOCS, scale_docs),
-                 max(BENCH_DOCS, 150_000)]
+        # steal%=0.0).  Protocol: run up to 3 lo/hi PAIRS, alternating
+        # the within-pair order so a drifting contention window hits
+        # both levels symmetrically, and report the PER-LEVEL MEDIAN
+        # ratio as the headline (a median is robust to one poisoned
+        # window; a best-of-N would be biased upward — ADVICE r2).
+        # Early exit once >=2 samples per level put the median over 0.8.
+        scale_pages = _materialize_corpus(scale_docs, shm=True)
+        lo_runs: list[float] = []
+        hi_runs: list[float] = []
         attempts = []
-        for size in sizes:
-            scale_pages = _materialize_corpus(size, shm=True)
-            lo = _scaling_subprocess(scale_pages, lo_cores)
-            hi = _scaling_subprocess(scale_pages, hi_cores)
-            eff = hi["docs_per_sec"] / lo["docs_per_sec"] / ratio
-            attempts.append({"docs": size,
-                             "docs_per_sec_lo": lo["docs_per_sec"],
-                             "docs_per_sec_hi": hi["docs_per_sec"],
-                             "efficiency": round(eff, 3)})
-            if eff >= 0.8:
+
+        def med(xs):
+            xs = sorted(xs)
+            n = len(xs)
+            return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+        for i in range(3):
+            order = [lo_cores, hi_cores] if i % 2 == 0 else [hi_cores, lo_cores]
+            for cores in order:
+                r = _scaling_subprocess(scale_pages, cores)
+                (lo_runs if cores == lo_cores else hi_runs).append(
+                    r["docs_per_sec"])
+            eff_med = med(hi_runs) / med(lo_runs) / ratio
+            attempts.append({
+                "docs": scale_docs,
+                "docs_per_sec_lo": lo_runs[-1],
+                "docs_per_sec_hi": hi_runs[-1],
+                "efficiency": round(hi_runs[-1] / lo_runs[-1] / ratio, 3),
+                "median_efficiency_so_far": round(eff_med, 3),
+            })
+            if i >= 1 and eff_med >= 0.8:
                 break
-        best = max(attempts, key=lambda a: a["efficiency"])
         scaling = {
             "cores_lo": lo_cores, "cores_hi": hi_cores,
-            "docs_per_sec_lo": best["docs_per_sec_lo"],
-            "docs_per_sec_hi": best["docs_per_sec_hi"],
-            "speedup": round(best["efficiency"] * ratio, 3),
-            "efficiency": best["efficiency"],
+            "docs_per_sec_lo": round(med(lo_runs), 1),
+            "docs_per_sec_hi": round(med(hi_runs), 1),
+            "speedup": round(med(hi_runs) / med(lo_runs), 3),
+            "efficiency": round(med(hi_runs) / med(lo_runs) / ratio, 3),
+            "statistic": f"median of {len(lo_runs)} runs per level, "
+                         "interleaved lo/hi order",
+            "runs_lo": lo_runs, "runs_hi": hi_runs,
             "attempts": attempts,
         }
 
