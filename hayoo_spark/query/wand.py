@@ -79,6 +79,18 @@ class SegmentDocs:
         self.max_boost = float(self.boost.max()) if self.n_docs else 1.0
 
 
+def docs_loaded(docs_root: str, segment: int) -> bool:
+    """True if the segment's doc table is already in the process cache
+    (lets callers split I/O prefetch from GIL-bound evaluation)."""
+    path = f"{docs_root}/segment={segment}"
+    try:
+        key = (path, _os.path.getmtime(path))
+    except OSError:
+        return False
+    with _DOCS_CACHE_LOCK:
+        return key in _DOCS_CACHE
+
+
 def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
     """Read one segment's doc table (norms + metadata) via pyarrow,
     prepared and cached per process — python workers are reused across
@@ -114,8 +126,9 @@ class SegmentData:
     ``cache_key`` (index root, segment) enables the cross-query decoded
     postings cache — hot terms skip varbyte decode + salt merge."""
 
-    def __init__(self, postings_pdf: pd.DataFrame, docs,
-                 cache_key: tuple | None = None):
+    def __init__(self, postings_pdf: pd.DataFrame | None, docs,
+                 cache_key: tuple | None = None,
+                 raw: dict[tuple[str, str], list] | None = None):
         if isinstance(docs, pd.DataFrame):
             docs = SegmentDocs(docs)
         self.n_docs = docs.n_docs
@@ -129,12 +142,15 @@ class SegmentData:
         self.max_boost = docs.max_boost
         self._cache_key = cache_key
         # posting lists are keyed (field, term); a postings frame with
-        # no field column (single-field layout) is keyed field "text"
-        self._raw: dict[tuple[str, str], list] = {}
-        has_field = "field" in postings_pdf.columns
-        for row in postings_pdf.itertuples(index=False):
-            f = row.field if has_field else "text"
-            self._raw.setdefault((f, row.term), []).append(row)
+        # no field column (single-field layout) is keyed field "text".
+        # ``raw`` passes pre-grouped rows directly (the engine's
+        # serving-tier rows cache) — no frame scan at all.
+        self._raw: dict[tuple[str, str], list] = dict(raw) if raw else {}
+        if postings_pdf is not None and len(postings_pdf):
+            has_field = "field" in postings_pdf.columns
+            for row in postings_pdf.itertuples(index=False):
+                f = row.field if has_field else "text"
+                self._raw.setdefault((f, row.term), []).append(row)
         self._decoded: dict[tuple, tuple] = {}
 
     def postings(self, field: str, term: str):
