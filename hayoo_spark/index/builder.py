@@ -735,10 +735,19 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
                        manifest_schema())
 
 
-def finalize(spark: SparkSession, index_dir: str) -> None:
+def finalize(spark: SparkSession, index_dir: str,
+             fuzzy_index: bool = True) -> None:
     """Global term dictionary (df, cf) — sort-merge of segment postings,
     analogous to the reference's final index merge
-    (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union)."""
+    (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union).
+
+    ``fuzzy_index`` also writes ``terms_fuzzy/``: the SymSpell-style
+    deletion-1 neighborhood of the dictionary, (field, del_key, term,
+    df) where del_key ranges over {term} ∪ 1-deletions(term).  Two
+    terms are within edit distance 1 only if their key sets intersect,
+    so a fuzzy query probes O(len(term)) keys instead of sweeping the
+    whole dictionary (the reference's `~` flavor at web scale; the
+    exact edit-distance verify runs on the candidate bucket only)."""
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
     (post.groupBy("field", "term")
@@ -747,3 +756,21 @@ def finalize(spark: SparkSession, index_dir: str) -> None:
      .sortWithinPartitions("term", "field")
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, "terms")))
+    if fuzzy_index:
+        terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        # JVM-side deletion neighborhood; array_union dedups keys when a
+        # term has repeated characters (matches the python twin's set,
+        # query/plan.py fuzzy_keys)
+        dels = F.expr(
+            "transform(sequence(1, length(term)), i ->"
+            " concat(substring(term, 1, i - 1),"
+            "        substring(term, i + 1, length(term))))")
+        (terms
+         .filter(F.length("term") >= 1)
+         .withColumn("del_key",
+                     F.explode(F.array_union(F.array(F.col("term")), dels)))
+         .select("field", "del_key", "term", "df")
+         .repartitionByRange(n_parts, "del_key")
+         .sortWithinPartitions("del_key", "field", "term")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, "terms_fuzzy")))

@@ -118,6 +118,9 @@ class SearchEngine:
         self._rows_mem_bytes = 0
         self._rows_mem_budget = rows_cache_bytes
         self._rows_stamp: tuple | None = None
+        # per-field SymSpell deletion maps, built lazily on first fuzzy
+        # query over the driver-cached dictionary
+        self._del_maps: dict[str, dict[str, list[int]]] = {}
 
     def _ub_scales(self, man) -> dict[str, float]:
         """Per-field admissibility factors for stored block bounds."""
@@ -187,31 +190,66 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
-    def expand_fuzzy(self, term: str,
-                     field: str = P.DEFAULT_FIELD) -> list[str]:
-        """Edit-distance-1 dictionary expansion (reference `~` flavor).
+    def _fuzzy_candidates(self, term: str,
+                          fields: tuple[str, ...]) -> list[tuple[str, str, int]]:
+        """UNVERIFIED (field, term, df) candidates whose deletion-1 key
+        sets intersect the query term's — a small superset of the true
+        edit-distance-1 neighborhood, never a dictionary sweep.
 
-        With the driver-cached dict this is a linear scan; without it,
-        F.levenshtein pushes the scan into the distributed dictionary."""
-        fields = self._expand_fields(field)
+        Sources, by index layout: the lazily-built driver deletion map
+        (cached-dict path), else the ``terms_fuzzy`` parquet probed on
+        del_key (filter pushdown + row-group pruning — the web-scale
+        path: O(len(term)) key lookups against 10^9 terms), else a
+        legacy full F.levenshtein scan (pre-fuzzy-table indexes)."""
+        keys = P.fuzzy_keys(term)
+        out: list[tuple[str, str, int]] = []
         if self._dict is not None:
-            acc: dict[str, int] = {}
             for f in fields:
                 d = self._dict.get(f)
                 if d is None:
                     continue
+                dm = self._del_maps.get(f)
+                if dm is None:
+                    terms, _ = d
+                    dm = {}
+                    for i, t in enumerate(terms):
+                        for k in P.fuzzy_keys(t):
+                            dm.setdefault(k, []).append(i)
+                    self._del_maps[f] = dm
                 terms, dfs = d
-                for i, t in enumerate(terms):
-                    if P.edit_distance_le1(term, t):
-                        acc[t] = acc.get(t, 0) + int(dfs[i])
-            cands = list(acc.items())
-        else:
-            rows = (self._terms_df
-                    .filter(F.col("field").isin(list(fields))
-                            & (F.levenshtein(F.col("term"), F.lit(term)) <= 1))
-                    .groupBy("term").agg(F.sum("df").alias("df"))
-                    .collect())
-            cands = [(r["term"], r["df"]) for r in rows]
+                seen: set[int] = set()
+                for k in keys:
+                    for i in dm.get(k, ()):
+                        if i not in seen:
+                            seen.add(i)
+                            out.append((f, terms[i], int(dfs[i])))
+            return out
+        fz = os.path.join(self.index_dir, "terms_fuzzy")
+        if os.path.exists(fz):
+            import pyarrow.parquet as pq
+            t = pq.read_table(
+                fz, filters=[("del_key", "in", sorted(keys)),
+                             ("field", "in", list(fields))]).to_pandas()
+            t = t.drop_duplicates(["field", "term"])
+            return list(zip(t["field"], t["term"], t["df"].astype(int)))
+        rows = (self._terms_df
+                .filter(F.col("field").isin(list(fields))
+                        & (F.levenshtein(F.col("term"), F.lit(term)) <= 1))
+                .groupBy("field", "term").agg(F.sum("df").alias("df"))
+                .collect())
+        return [(r["field"], r["term"], r["df"]) for r in rows]
+
+    def expand_fuzzy(self, term: str,
+                     field: str = P.DEFAULT_FIELD) -> list[str]:
+        """Edit-distance-1 dictionary expansion (reference `~` flavor):
+        deletion-neighborhood candidate lookup, then the exact verify on
+        candidates only (candidate set ≪ dictionary; tested)."""
+        fields = self._expand_fields(field)
+        acc: dict[str, int] = {}
+        for f, t, df in self._fuzzy_candidates(term, fields):
+            if P.edit_distance_le1(term, t):
+                acc[t] = acc.get(t, 0) + int(df)
+        cands = list(acc.items())
         cands.sort(key=lambda kv: (-kv[1], kv[0]))
         return [t for t, _ in cands[: P.MAX_EXPANSIONS]]
 

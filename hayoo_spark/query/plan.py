@@ -125,6 +125,18 @@ def prefix_leaves(node: Node) -> list[Prefix]:
     return []
 
 
+def fuzzy_keys(term: str) -> set[str]:
+    """SymSpell deletion-1 key set: {term} ∪ 1-deletions(term).
+
+    lev(a, b) <= 1  ⟹  fuzzy_keys(a) ∩ fuzzy_keys(b) ≠ ∅  (equal terms
+    share themselves; a substitution shares the both-deleted string; an
+    insertion/deletion pair shares the shorter term), so probing these
+    keys against the finalize-time ``terms_fuzzy`` table yields a
+    candidate superset — exact-verified with edit_distance_le1.  Twin of
+    the JVM expression in index/builder.finalize."""
+    return {term} | {term[:i] + term[i + 1:] for i in range(len(term))}
+
+
 def edit_distance_le1(a: str, b: str) -> bool:
     """True iff levenshtein(a, b) <= 1 (single linear scan)."""
     la, lb = len(a), len(b)
