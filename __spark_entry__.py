@@ -123,6 +123,23 @@ def q_range_filter(spark, sf_dir):
     )
 
 
+def q_date_prefix_range(spark, sf_dir):
+    """Q7 date-typed range with TRUNCATABLE ISO-prefix endpoints
+    (reference date contexts, hayooIndexer/src/Hayoo/Hunt/
+    IndexSchema.hs:133-137): [2024-01 TO 2024-02] covers both whole
+    months — the shared iso_prefix_bounds helper expands the prefixes,
+    the oracle embeds the expanded instants."""
+    from hayoo_spark.query.plan import iso_prefix_bounds
+    lo, hi = iso_prefix_bounds("2024-01", "2024-02")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_x100"))
+    )
+
+
 def q_topk_paging(spark, sf_dir):
     """Q10 top-k + paging: page 1 (offset 20, limit 20), deterministic
     integer-score ordering with doc_id tie-break."""
@@ -417,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase": q_phrase,
         "q_field_scoped": q_field_scoped,
         "q_range_filter": q_range_filter,
+        "q_date_prefix_range": q_date_prefix_range,
         "q_topk_paging": q_topk_paging,
         "q_autocomplete": q_autocomplete,
         "q_boost": q_boost,
@@ -526,6 +544,13 @@ SELECT event_type, count(*) AS n,
        CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_x100
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type"""
+    # iso_prefix_bounds("2024-01", "2024-02") == [2024-01-01, 2024-03-01)
+    sql["q_date_prefix_range"] = """
+SELECT event_type, count(*) AS n,
+       CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
 GROUP BY event_type"""
     sql["q_topk_paging"] = _BM25_CTES + _bm25_select("tf.term IN ('table','row')") + """
 SELECT doc_id, score_x1e4 FROM scores

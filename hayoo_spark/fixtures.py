@@ -106,6 +106,13 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
         pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
         .astype("datetime64[us]")
     )
+    # a second timestamp column (deterministic per url) for date-typed
+    # index contexts: pub_ts = warc_ts minus an md5(url)-derived offset
+    import hashlib
+    offs = [int(hashlib.md5(u.encode()).hexdigest()[:4], 16) % 180
+            for u in df["url"]]
+    df["pub_ts"] = (df["warc_ts"] - pd.to_timedelta(offs, unit="D")) \
+        .astype("datetime64[us]")
     return df
 
 

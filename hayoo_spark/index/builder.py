@@ -230,6 +230,13 @@ def prepare_docs(pages: DataFrame, n_segments: int,
         .drop("_prev_url", "ord")
     )
     for f in fields:
+        if f.ftype == "date":
+            # date context (IndexSchema.hs:111): store the source
+            # timestamp column under the field name — no tokenization
+            if f.name != f.source:
+                out = out.withColumn(f.name,
+                                     F.col(f.source).cast("timestamp"))
+            continue
         out = out.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
                  .withColumn(f"dl_{f.name}", F.size(f"tokens_{f.name}").cast("long"))
     if drop_empty:
@@ -239,7 +246,7 @@ def prepare_docs(pages: DataFrame, n_segments: int,
         # such docs, which is a semantics choice the caller makes.
         keep = F.lit(False)
         for f in fields:
-            if f.default:
+            if f.default and f.ftype != "date":
                 keep = keep | (F.col(f"dl_{f.name}") > 0)
         out = out.filter(keep)
     return out.withColumn("doc_id", (F.row_number().over(w_seg) - 1).cast("long"))
@@ -424,8 +431,9 @@ def build_index(
     if resume and os.path.exists(stats_path):
         srows = sorted(spark.read.parquet(stats_path).collect(),
                        key=lambda r: r["fkey"])
-        fields = tuple(FieldSpec(r["field"], r["weight"], r["is_default"],
-                                 r["source"]) for r in srows)
+        fields = tuple(
+            FieldSpec(r["field"], r["weight"], r["is_default"], r["source"],
+                      r.asDict().get("ftype", "text")) for r in srows)
         if "drop_empty" in srows[0].asDict():
             drop_empty = bool(srows[0]["drop_empty"])
 
@@ -463,7 +471,8 @@ def build_index(
                    and batch_size >= len(pending) and pending)
     if srows is not None:
         n_docs = srows[0]["n_docs"]
-        avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
+        avgdl = {r["field"]: float(r["avgdl"]) for r in srows
+                 if r.asDict().get("ftype", "text") != "date"}
     elif not fused_stats:
         a = docs.agg(*_stats_aggs(fields)).collect()[0]
         n_docs, avgdl = _write_stats(a, fields, drop_empty, stats_path)
@@ -511,21 +520,25 @@ N_BUCKETS = 32  # encode-groups per segment; bounds Arrow group size
 
 def _stats_aggs(fields):
     """Aggregate expressions for the global stats pass (N, per-field
-    token totals and avgdl)."""
+    token totals and avgdl; date fields carry no token stats)."""
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for f in fields:
+        if f.ftype == "date":
+            continue
         aggs.append(F.sum(f"dl_{f.name}").alias(f"tot_{f.name}"))
         aggs.append(F.avg(f"dl_{f.name}").alias(f"avg_{f.name}"))
     return aggs
 
 
 def _write_stats(a, fields, drop_empty, stats_path):
-    """Freeze global stats to ``stats/``; returns (n_docs, avgdl map).
-    ``a`` is a Row or observation dict holding the _stats_aggs values."""
+    """Freeze global stats to ``stats/``; returns (n_docs, avgdl map
+    over TEXT fields).  ``a`` is a Row or observation dict holding the
+    _stats_aggs values."""
     import pyarrow as pa
     import shutil as _sh
     n_docs = a["n_docs"]
-    avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0) for f in fields}
+    avgdl = {f.name: float(a[f"avg_{f.name}"] or 1.0)
+             for f in fields if f.ftype != "date"}
     _sh.rmtree(stats_path, ignore_errors=True)
     write_meta_parquet(stats_path, pd.DataFrame({
         "field": [f.name for f in fields],
@@ -533,14 +546,17 @@ def _write_stats(a, fields, drop_empty, stats_path):
         "weight": [float(f.weight) for f in fields],
         "is_default": [bool(f.default) for f in fields],
         "source": [f.source for f in fields],
+        "ftype": [f.ftype for f in fields],
         "n_docs": np.full(len(fields), int(n_docs), np.int64),
-        "avgdl": [avgdl[f.name] for f in fields],
-        "total_tokens": [int(a[f"tot_{f.name}"] or 0) for f in fields],
+        "avgdl": [avgdl.get(f.name, 1.0) for f in fields],
+        "total_tokens": [int(a[f"tot_{f.name}"] or 0)
+                         if f.ftype != "date" else 0 for f in fields],
         "drop_empty": [bool(drop_empty)] * len(fields),
     }), pa.schema([
         ("field", pa.string()), ("fkey", pa.int32()),
         ("weight", pa.float64()), ("is_default", pa.bool_()),
-        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("source", pa.string()), ("ftype", pa.string()),
+        ("n_docs", pa.int64()),
         ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
         ("drop_empty", pa.bool_()),
     ]))
@@ -554,7 +570,9 @@ def _write_docs(seg_docs, index_dir, fields, phase_t,
     no separate corpus pass; returns the Observation (else None)."""
     t0 = time.monotonic()
     doc_cols = ["segment", "doc_id", "url", "warc_ts", "lang", "boost"] + \
-        [f"dl_{f.name}" for f in fields]
+        [f"dl_{f.name}" for f in fields if f.ftype != "date"] + \
+        [f.name for f in fields
+         if f.ftype == "date" and f.name != "warc_ts"]
     df = seg_docs.select(*doc_cols)
     obs = None
     if observe_stats:
@@ -590,6 +608,8 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
     fkeys = fkey_of(fields)
     occ_parts, dict_parts = [], []
     for f in fields:
+        if f.ftype == "date":
+            continue  # date contexts carry no postings
         occ_parts.append(
             seg_docs.select(
                 "segment", "doc_id",
@@ -644,7 +664,7 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
         .drop("is_heavy")
     )
 
-    avgdls = [avgdl[f.name] for f in fields]
+    avgdls = [avgdl.get(f.name, 1.0) for f in fields]
     encoded = comb.groupBy("segment", "bucket").applyInPandas(
         _encode_factory(avgdls, block_size), ENCODE_SCHEMA)
     (encoded

@@ -26,6 +26,13 @@ An unscoped query term searches the union of default fields; a
                query marker's target; reference qFullWord case
                semantics, hayoo-server/src/Hayoo/App.hs:187-200)
   - anything else: a column of that name in the pages table
+
+``ftype`` is the context type (reference ctDate vs ctText,
+hayooIndexer/src/Hayoo/Hunt/IndexSchema.hs:111,120): a ``date`` field
+is not tokenized — its source column (a timestamp) is stored per doc
+and queried with ``field:[A TO B]`` range match where A/B are
+TRUNCATABLE ISO prefixes (`2014-02` covers the whole month,
+IndexSchema.hs:133-137; query/plan.iso_prefix_bounds).
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ class FieldSpec:
     weight: float = 1.0
     default: bool = True       # searched by unscoped query terms
     source: str = "body"
+    ftype: str = "text"        # "text" | "date"
 
 
 #: single-field schema — the pre-multi-field behavior, byte-compatible

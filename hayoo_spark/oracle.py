@@ -52,6 +52,8 @@ class OracleIndex:
     boosts: np.ndarray = None  # per-doc static weight (adWght analogue)
     weights: dict = dc_field(default_factory=lambda: {"text": 1.0})
     default_fields: tuple = ("text",)
+    date_fields: tuple = ()          # declared date contexts
+    dates: dict = dc_field(default_factory=dict)  # field -> [Timestamp]
 
     def idf(self, fld: str, term: str) -> float:
         df = len(self.postings.get((fld, term), ()))
@@ -87,6 +89,8 @@ def build_oracle_index(
 ) -> OracleIndex:
     dedup = pages.drop_duplicates(subset=["url"], keep="first")
     dedup = dedup.sort_values("url", kind="mergesort").reset_index(drop=True)
+    date_specs = tuple(f for f in fields if f.ftype == "date")
+    fields = tuple(f for f in fields if f.ftype != "date")
     if drop_empty:
         # boring-doc filter (A8): drop docs whose every default field is
         # empty — mirrors builder.prepare_docs(drop_empty=True)
@@ -130,6 +134,9 @@ def build_oracle_index(
         boosts=boosts,
         weights={f.name: float(f.weight) for f in fields},
         default_fields=tuple(f.name for f in fields if f.default),
+        date_fields=tuple(f.name for f in date_specs),
+        dates={f.name: list(pd.to_datetime(dedup[f.source]))
+               for f in date_specs},
     )
 
 
@@ -189,8 +196,15 @@ def evaluate(ix: OracleIndex, node: P.Node) -> dict[int, float]:
                 out[d] = out.get(d, 0.0) + s
         return out
     if isinstance(node, P.RangeFilter):
-        lo, hi = _parse_ts(node.lo), _parse_ts(node.hi)
-        return {d: 0.0 for d in range(ix.n_docs) if lo <= ix.warc_ts[d] < hi}
+        if node.field in ix.date_fields:
+            lo, hi = P.iso_prefix_bounds(node.lo, node.hi)
+            vals = ix.dates[node.field]
+        elif node.field in P.RANGE_FIELDS:
+            lo, hi = _parse_ts(node.lo), _parse_ts(node.hi)
+            vals = ix.warc_ts
+        else:
+            return {}
+        return {d: 0.0 for d in range(ix.n_docs) if lo <= vals[d] < hi}
     if isinstance(node, P.And):
         if not node.children:
             return {}

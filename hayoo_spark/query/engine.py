@@ -73,11 +73,17 @@ class SearchEngine:
             spark.read.parquet(os.path.join(index_dir, "stats")).collect(),
             key=lambda r: r["fkey"])
         self.n_docs = srows[0]["n_docs"]
-        # per-field BM25F stats + schema (weights / default-search set)
-        self.avgdl = {r["field"]: float(r["avgdl"]) for r in srows}
-        self.field_weights = {r["field"]: float(r["weight"]) for r in srows}
+        # per-field BM25F stats + schema (weights / default-search set);
+        # date contexts are range-filter-only — they carry no postings,
+        # weights, or norms (IndexSchema.hs:111,120)
+        ftypes = {r["field"]: r.asDict().get("ftype", "text") for r in srows}
+        trows = [r for r in srows if ftypes[r["field"]] != "date"]
+        self.date_fields = tuple(
+            f for f, t in ftypes.items() if t == "date")
+        self.avgdl = {r["field"]: float(r["avgdl"]) for r in trows}
+        self.field_weights = {r["field"]: float(r["weight"]) for r in trows}
         self.default_fields = tuple(
-            r["field"] for r in srows if r["is_default"])
+            r["field"] for r in trows if r["is_default"])
         # incremental updates shift avgdl after some segments were encoded;
         # stored block bounds scale by at most avgdl_now[f]/avgdl_enc[f]
         # PER FIELD, so these factors keep block-max pruning admissible
@@ -328,6 +334,7 @@ class SearchEngine:
         idf_map = self._idf_map(needed)
         avgdl, ub_scale = self.avgdl, self.ub_scale
         weights, default_fields = self.field_weights, self.default_fields
+        date_fields = self.date_fields
         docs_root = os.path.join(self.index_dir, "docs")
         flat = _flat_terms(ast)
         # a bare phrase is segment-prunable like a flat query (every
@@ -351,7 +358,7 @@ class SearchEngine:
             docs_pdf = load_segment_docs(docs_root, seg)
             sd = SegmentData(pdf, docs_pdf)
             ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale,
-                                  weights, default_fields)
+                                  weights, default_fields, date_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
             elif is_phrase:
@@ -467,7 +474,8 @@ class SearchEngine:
                              cache_key=(post_root, seg, mt, avgdl_key),
                              raw=raw)
             ev = SegmentEvaluator(sd, idf_map, self.avgdl, self.ub_scale,
-                                  self.field_weights, self.default_fields)
+                                  self.field_weights, self.default_fields,
+                                  self.date_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
             elif is_phrase:
@@ -570,6 +578,12 @@ class SearchEngine:
         if isinstance(node, P.Term) and node.field in P.FILTER_FIELDS:
             return F.lower(F.col(node.field)) == node.term
         if isinstance(node, P.RangeFilter):
+            if node.field in self.date_fields:
+                lo, hi = P.iso_prefix_bounds(node.lo, node.hi)
+                return (F.col(node.field) >= F.lit(lo)) & (
+                    F.col(node.field) < F.lit(hi))
+            if node.field not in P.RANGE_FIELDS:
+                return F.lit(False)  # range on an undeclared field
             return (F.col(node.field) >= F.lit(node.lo)) & (
                 F.col(node.field) < F.lit(node.hi))
         if isinstance(node, (P.And, P.Or)) and node.children:

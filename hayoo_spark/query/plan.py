@@ -125,6 +125,16 @@ def prefix_leaves(node: Node) -> list[Prefix]:
     return []
 
 
+def iso_prefix_bounds(lo: str, hi: str):
+    """[lo_ts, hi_ts) for a date range whose endpoints are TRUNCATABLE
+    ISO prefixes (reference date contexts, hayooIndexer/src/Hayoo/Hunt/
+    IndexSchema.hs:133-137): each endpoint covers its WHOLE period —
+    ``[2014-02 TO 2014-08]`` spans 2014-02-01 .. 2014-09-01 (excl).
+    Granularity is inferred from the prefix (year/month/day/.../sec)."""
+    import pandas as pd
+    return pd.Period(lo).start_time, (pd.Period(hi) + 1).start_time
+
+
 def fuzzy_keys(term: str) -> set[str]:
     """SymSpell deletion-1 key set: {term} ∪ 1-deletions(term).
 

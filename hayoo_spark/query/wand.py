@@ -52,11 +52,17 @@ class SegmentDocs:
     per field).  A plain ``dl`` column is accepted as field "text"."""
 
     __slots__ = ("n_docs", "urls", "langs", "langs_lc", "urls_lc",
-                 "warc_ts", "dls", "boost", "max_boost")
+                 "warc_ts", "dls", "boost", "max_boost", "extra")
+
+    _KNOWN = ("doc_id", "url", "lang", "warc_ts", "boost", "dl")
 
     def __init__(self, pdf: pd.DataFrame):
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         self.n_docs = len(pdf)
+        # declared date contexts (and any future stored fields) ride as
+        # extra doc columns, exposed for range filtering by field name
+        self.extra = {c: pdf[c].to_numpy() for c in pdf.columns
+                      if c not in self._KNOWN and not c.startswith("dl_")}
         self.urls = pdf["url"].to_numpy(object)
         self.langs = pdf["lang"].to_numpy(object)
         # filter comparisons are case-insensitive on BOTH sides (the
@@ -105,13 +111,9 @@ def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
         hit = _DOCS_CACHE.get(key)
     if hit is not None:
         return hit
-    names = pq.read_schema(
-        next(iter(_glob.glob(path + "/*.parquet")))).names
-    cols = ["doc_id", "url", "lang", "warc_ts"] + \
-        [c for c in names if c == "dl" or c.startswith("dl_")]
-    if "boost" in names:
-        cols.append("boost")
-    pdf = pq.read_table(path, columns=cols).to_pandas()
+    # read every stored column: dl_* norms, boost, and any declared
+    # date-context columns all live in the doc table
+    pdf = pq.read_table(path).to_pandas()
     sd = SegmentDocs(pdf)
     with _DOCS_CACHE_LOCK:
         if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
@@ -140,6 +142,7 @@ class SegmentData:
         self.dls = docs.dls
         self.boost = docs.boost
         self.max_boost = docs.max_boost
+        self.extra = getattr(docs, "extra", {})
         self._cache_key = cache_key
         # posting lists are keyed (field, term); a postings frame with
         # no field column (single-field layout) is keyed field "text".
@@ -401,7 +404,9 @@ class SegmentEvaluator:
 
     def __init__(self, seg: SegmentData, idf: dict, avgdl,
                  ub_scale=1.0, weights: dict | None = None,
-                 default_fields: tuple[str, ...] = ("text",)):
+                 default_fields: tuple[str, ...] = ("text",),
+                 date_fields: tuple[str, ...] = ()):
+        self.date_fields = date_fields
         self.seg = seg
         # single-field back-compat: scalar avgdl / str-keyed idf maps
         if not isinstance(avgdl, dict):
@@ -453,9 +458,22 @@ class SegmentEvaluator:
                 return ids, np.zeros(len(ids))
             return np.zeros(0, np.int64), np.zeros(0)
         if isinstance(node, P.RangeFilter):
-            lo = np.datetime64(pd.Timestamp(node.lo))
-            hi = np.datetime64(pd.Timestamp(node.hi))
-            mask = (s.warc_ts >= lo) & (s.warc_ts < hi)
+            if node.field in self.date_fields:
+                # declared date context: truncatable ISO-prefix endpoints
+                # each cover their whole period (IndexSchema.hs:133-137)
+                plo, phi = P.iso_prefix_bounds(node.lo, node.hi)
+                lo, hi = np.datetime64(plo), np.datetime64(phi)
+                arr = s.extra.get(node.field)
+                if arr is None:
+                    return np.zeros(0, np.int64), np.zeros(0)
+            elif node.field in P.RANGE_FIELDS:
+                # legacy warc_ts range: raw [lo, hi) instants
+                lo = np.datetime64(pd.Timestamp(node.lo))
+                hi = np.datetime64(pd.Timestamp(node.hi))
+                arr = s.warc_ts
+            else:
+                return np.zeros(0, np.int64), np.zeros(0)
+            mask = (arr >= lo) & (arr < hi)
             ids = np.flatnonzero(mask).astype(np.int64)
             return ids, np.zeros(len(ids))
         if isinstance(node, P.Phrase):
