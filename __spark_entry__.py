@@ -216,6 +216,27 @@ def q_field_weighted(spark, sf_dir):
     )
 
 
+def q_virtual_doc_split(spark, sf_dir):
+    """T1 full — per-declaration virtual-doc splitting generalized to
+    SQL-expressible form: each document explodes into one VIRTUAL DOC
+    per '. '-separated section (the index engine's html splitter is
+    hayoo_spark/split.py, tested for rank identity in pytest; this
+    entry proves the explode-to-many-docs + per-virtual-doc BM25
+    semantics against DuckDB).  vdoc_id = doc_id*1000 + section."""
+    docs = _docs(spark, sf_dir)
+    vd = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("sec", "vtext"))
+    vd = vd.select(
+        (F.col("doc_id") * 1000 + F.col("sec")).alias("doc_id"),
+        F.col("vtext").alias("text"))
+    tf = relational.corpus_tokens(vd)
+    scored = relational.score_terms(tf, ["spark"],
+                                    stats=relational.corpus_stats(tf))
+    return scored.select(F.col("doc_id").alias("vdoc_id"),
+                         "score_x1e4", "n_terms")
+
+
 def q_latest_version_dedup(spark, sf_dir):
     """S4 latest-version dedup scan: keep max-version row per key
     (reference: TarUtil.hs:93-134) — latest order per customer here."""
@@ -439,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocomplete": q_autocomplete,
         "q_boost": q_boost,
         "q_field_weighted": q_field_weighted,
+        "q_virtual_doc_split": q_virtual_doc_split,
         "q_latest_version_dedup": q_latest_version_dedup,
         "q_join_compose": q_join_compose,
         "q_transitive_closure": q_transitive_closure,
@@ -591,6 +613,15 @@ JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
 JOIN st ON st.field = tf.field
 WHERE tf.term IN ('spark', 'join')
 GROUP BY tf.doc_id"""
+    vd_sub = ("(SELECT doc_id * 1000 "
+              "+ generate_subscripts(string_split(text, '. '), 1) - 1 "
+              "AS vdoc_id, unnest(string_split(text, '. ')) AS vtext "
+              "FROM documents) vd")
+    sql["q_virtual_doc_split"] = (
+        "SELECT vdoc_id, score_x1e4, n_terms FROM ("
+        + relational.duckdb_bm25_sql(vd_sub, ["spark"], key="vdoc_id",
+                                     text_col="vtext")
+        + ")")
     sql["q_latest_version_dedup"] = """
 SELECT o_custkey, o_orderkey, o_orderdate FROM (
   SELECT o_custkey, o_orderkey, o_orderdate,

@@ -122,6 +122,52 @@ def _row(url: str, ts: dt.datetime, text: str, lang: str, tag: str = "alpha"):
     return (url, ts.replace(tzinfo=None), html.encode("utf-8"), text, lang, tag)
 
 
+def make_sectioned_pages(n_docs: int = 200, seed: int = SEED) -> pd.DataFrame:
+    """Pages with anchored-heading sections (split.py T1 fixture): each
+    page has a preamble plus 1-4 ``<h2 id="secK">`` sections, every
+    section holding its own Zipf-drawn words plus a section-unique
+    marker term ``only<i>x<k>`` (so per-section relevance is testable).
+    Every third page has no sections (pass-through path)."""
+    rng = np.random.RandomState(seed + 1)
+    vocab = np.array(make_vocab(), dtype=object)
+    probs = _zipf_probs(len(vocab))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n_docs):
+        url = f"https://sect.org/page/{i:06d}"
+        ts = t0 + dt.timedelta(hours=i)
+        intro = " ".join(vocab[rng.choice(len(vocab), size=12, p=probs)])
+        if i % 3 == 2:
+            text = intro
+            html = (f"<html><head><title>{' '.join(intro.split()[:3])}"
+                    f"</title></head><body><p>{intro}</p></body></html>")
+        else:
+            n_sec = 1 + rng.randint(4)
+            parts = [f"<p>{intro}</p>"]
+            for k in range(n_sec):
+                words = " ".join(
+                    vocab[rng.choice(len(vocab), size=20, p=probs)])
+                head = " ".join(
+                    vocab[rng.choice(len(vocab), size=2, p=probs)])
+                parts.append(
+                    f'<h2 id="sec{k}">{head}</h2>'
+                    f"<p>{words} only{i}x{k}</p>")
+            body = "".join(parts)
+            text = " ".join(
+                body.replace("<", " <").split())  # unused by the builder
+            html = (f"<html><head><title>{' '.join(intro.split()[:3])}"
+                    f"</title></head><body>{body}</body></html>")
+        rows.append((url, ts, html.encode("utf-8"), text, "en", "alpha"))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                     "lang", "tag"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"]).astype("datetime64[us]")
+    df["pub_ts"] = df["warc_ts"]
+    # per-row invariant: text column == the extractor's output
+    from .analysis import extract_text_py
+    df["text"] = [extract_text_py(h) for h in df["html"]]
+    return df
+
+
 def write_pages(path: str, n_docs: int = 1000, seed: int = SEED) -> str:
     """Write pages parquet to `path` (a directory); returns the file path."""
     os.makedirs(path, exist_ok=True)

@@ -410,6 +410,7 @@ def build_index(
     resume: bool = False,
     fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
     drop_empty: bool = False,
+    split_sections: bool = False,
 ) -> dict:
     """Build (or resume) the index.  Returns build metrics.
 
@@ -418,6 +419,10 @@ def build_index(
     segments in one batch.  ``fields`` is the context schema
     (fields.py); on resume the schema is read back from ``stats/`` so a
     resumed build cannot silently diverge from the original.
+    ``split_sections`` explodes every page into per-section virtual
+    docs keyed url#anchor BEFORE indexing (split.py — the reference's
+    one-doc-per-declaration behavior, Haddock.hs:113-454); persisted in
+    stats/ like the rest of the schema.
     """
     if not resume and os.path.exists(index_dir):
         # cold build must not append onto stale segments
@@ -436,8 +441,13 @@ def build_index(
                       r.asDict().get("ftype", "text")) for r in srows)
         if "drop_empty" in srows[0].asDict():
             drop_empty = bool(srows[0]["drop_empty"])
+        if "split_sections" in srows[0].asDict():
+            split_sections = bool(srows[0]["split_sections"])
 
     pages = spark.read.parquet(pages_path)
+    if split_sections:
+        from ..split import split_virtual_docs
+        pages = split_virtual_docs(pages)
     # tokenized docs feed the stats pass AND every segment batch:
     # persist to avoid re-extracting/re-tokenizing the corpus per pass
     # (disk-backed — token arrays exceed executor memory at scale)
@@ -475,7 +485,8 @@ def build_index(
                  if r.asDict().get("ftype", "text") != "date"}
     elif not fused_stats:
         a = docs.agg(*_stats_aggs(fields)).collect()[0]
-        n_docs, avgdl = _write_stats(a, fields, drop_empty, stats_path)
+        n_docs, avgdl = _write_stats(a, fields, drop_empty, split_sections,
+                                     stats_path)
     else:
         n_docs, avgdl = -1, {}  # computed inside the first batch's write
 
@@ -491,7 +502,7 @@ def build_index(
                           observe_stats=fused_stats and i == 0)
         if obs is not None:
             n_docs, avgdl = _write_stats(obs.get, fields, drop_empty,
-                                         stats_path)
+                                         split_sections, stats_path)
         combined, per_term = _encode_postings(
             spark, seg_docs, index_dir, avgdl, fields, block_size,
             salt_df_threshold, n_salts, phase_t)
@@ -530,7 +541,7 @@ def _stats_aggs(fields):
     return aggs
 
 
-def _write_stats(a, fields, drop_empty, stats_path):
+def _write_stats(a, fields, drop_empty, split_sections, stats_path):
     """Freeze global stats to ``stats/``; returns (n_docs, avgdl map
     over TEXT fields).  ``a`` is a Row or observation dict holding the
     _stats_aggs values."""
@@ -552,6 +563,7 @@ def _write_stats(a, fields, drop_empty, stats_path):
         "total_tokens": [int(a[f"tot_{f.name}"] or 0)
                          if f.ftype != "date" else 0 for f in fields],
         "drop_empty": [bool(drop_empty)] * len(fields),
+        "split_sections": [bool(split_sections)] * len(fields),
     }), pa.schema([
         ("field", pa.string()), ("fkey", pa.int32()),
         ("weight", pa.float64()), ("is_default", pa.bool_()),
@@ -559,6 +571,7 @@ def _write_stats(a, fields, drop_empty, stats_path):
         ("n_docs", pa.int64()),
         ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
         ("drop_empty", pa.bool_()),
+        ("split_sections", pa.bool_()),
     ]))
     return n_docs, avgdl
 

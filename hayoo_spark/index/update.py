@@ -112,6 +112,9 @@ def update_index(
             for r in srows)
         if "drop_empty" in srows[0].asDict():
             build_kwargs.setdefault("drop_empty", bool(srows[0]["drop_empty"]))
+        if "split_sections" in srows[0].asDict():
+            build_kwargs.setdefault(
+                "split_sections", bool(srows[0]["split_sections"]))
     shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
 
     build_index(spark, pages_path, index_dir, n_segments=n_segments,

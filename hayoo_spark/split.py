@@ -1,0 +1,106 @@
+"""Per-section virtual-document splitting (SURVEY.md §2 T1, full).
+
+The reference turns ONE Haddock page into one document PER DECLARATION:
+it walks the page, cuts it at declaration anchors, and emits each piece
+as its own ApiDocument whose uri is ``page#anchor``
+(hayooIndexer/src/Hayoo/Haddock.hs:113-124 dialect dispatch, :156-454
+per-declaration extraction, :493-578 uri/anchor assembly).  Every Hayoo
+search result is such a declaration-level doc.
+
+Webtext generalization implemented here: an HTML page is split at
+ANCHORED HEADINGS (``<hN id="...">``) into virtual docs —
+
+- section 0 (the preamble before the first anchored heading) keeps the
+  page url and the page <title>;
+- section i > 0 becomes url#anchor with the heading text as its title
+  and the whole section (heading included) as its body;
+- a page with no anchored headings passes through byte-identical.
+
+Each virtual doc's html is rebuilt as a minimal page so the standard
+extractor yields exactly the section text (the per-row invariant
+``extract_text(html) == text`` holds for every emitted row; tested).
+The Spark wrapper is an Arrow-batched mapInPandas whose interior is
+pure vectorized pandas str ops — the same seam a real DOM parser would
+plug into (index/builder.extract_text).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_BODY_RE = re.compile(r"<body[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.DOTALL | re.IGNORECASE)
+#: zero-width split point just before every anchored heading
+_SEC_SPLIT_RE = re.compile(r'(?i)(?=<h[1-6][^>]*\sid=")')
+_ANCHOR_RE = re.compile(r'(?i)^<h[1-6][^>]*\sid="([^"]*)"')
+_HEADING_TXT_RE = re.compile(r"(?is)^<h[1-6][^>]*>(.*?)</h[1-6]>")
+
+
+def split_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas splitter (oracle twin AND the UDF interior).
+
+    Input/output schema are identical (url, html, optional text, plus
+    any passthrough columns); output has >= 1 row per input row.
+    """
+    if not len(pdf):
+        return pdf
+    pdf = pdf.reset_index(drop=True)
+    html = pdf["html"].map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray)) else b)
+    body = html.str.extract(_BODY_RE, expand=False)
+    title = html.str.extract(_TITLE_RE, expand=False).fillna("")
+    parts = body.str.split(_SEC_SPLIT_RE)
+    # pages with no <body> or no anchored heading pass through untouched
+    plain = body.isna() | (parts.str.len() <= 1)
+
+    out = pd.DataFrame({
+        "_part": parts.where(~plain, html.map(lambda h: [h])),
+        "_title": title,
+    }, index=pdf.index).explode("_part")
+    out["_sec"] = out.groupby(level=0).cumcount()
+    src = pdf.loc[out.index]
+    plain_r = plain.loc[out.index].to_numpy()
+
+    anchor = out["_part"].str.extract(_ANCHOR_RE, expand=False)
+    head_txt = (out["_part"].str.extract(_HEADING_TXT_RE, expand=False)
+                .str.replace(r"<[^>]*>", " ", regex=True)
+                .str.split().str.join(" "))
+    is_sec = (out["_sec"] > 0) & ~plain_r
+    vtitle = head_txt.where(is_sec, out["_title"]).fillna("")
+    new_html = ("<html><head><title>" + vtitle
+                + "</title></head><body>" + out["_part"]
+                + "</body></html>")
+    new_url = src["url"].where(
+        ~is_sec, src["url"] + "#" + anchor.fillna(""))
+
+    res = src.copy()
+    res["url"] = new_url.to_numpy(object)
+    res["html"] = [
+        (h if isinstance(h, (bytes, bytearray)) else str(h).encode("utf-8"))
+        if pl else n.encode("utf-8")
+        for pl, h, n in zip(plain_r, src["html"], new_html)]
+    if "text" in res.columns:
+        # keep the per-row invariant text == extract(html) on every row
+        # (vectorized extraction over the rebuilt section pages)
+        from .analysis import extract_text_series
+        new_text = extract_text_series(
+            pd.Series(new_html.to_numpy(object)))
+        res["text"] = [
+            t if pl else nt
+            for pl, t, nt in zip(plain_r, src["text"], new_text)]
+    return res.reset_index(drop=True)
+
+
+def split_virtual_docs(pages):
+    """Spark wrapper: explode pages into per-section virtual docs
+    (schema-preserving Arrow-batched mapInPandas)."""
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield split_pages_pdf(pdf)
+
+    return pages.mapInPandas(gen, pages.schema)

@@ -1,0 +1,105 @@
+"""Per-section virtual-document splitting (T1 full): one page becomes
+one doc per anchored heading, keyed url#anchor, matching the
+reference's one-doc-per-declaration extraction
+(hayooIndexer/src/Hayoo/Haddock.hs:113-454) generalized to webtext."""
+
+import pandas as pd
+import pytest
+
+from hayoo_spark import fixtures, oracle
+from hayoo_spark.analysis import extract_text_py
+from hayoo_spark.split import split_pages_pdf
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def sect_pages():
+    return fixtures.make_sectioned_pages(N_DOCS)
+
+
+def test_split_pdf_semantics(sect_pages):
+    out = split_pages_pdf(sect_pages)
+    assert len(out) > len(sect_pages)
+    # sectionless pages pass through byte-identical
+    plain_urls = {u for u in sect_pages["url"] if int(u[-6:]) % 3 == 2}
+    plain = out[out["url"].isin(plain_urls)]
+    src = sect_pages[sect_pages["url"].isin(plain_urls)]
+    assert plain["html"].tolist() == src["html"].tolist()
+    # sectioned pages explode into url + url#anchor virtual docs
+    assert (out["url"].str.contains("#sec")).any()
+    # fan-out: every emitted row satisfies the extractor invariant
+    for h, t in zip(out["html"], out["text"]):
+        assert extract_text_py(h) == t
+    # the preamble keeps the bare url; anchors follow the heading ids
+    g = out[out["url"].str.startswith("https://sect.org/page/000000")]
+    one = g[g["url"].str.split("#").str[0] == g["url"].iloc[0].split("#")[0]]
+    assert one["url"].iloc[0].count("#") == 0
+
+
+def test_split_marker_terms_isolated(sect_pages):
+    """A section-unique marker term must appear in exactly ONE virtual
+    doc — the splitter actually separates content."""
+    out = split_pages_pdf(sect_pages)
+    hits = out[out["text"].str.contains("only0x0", regex=False)]
+    assert len(hits) == 1
+    assert hits["url"].iloc[0].endswith("#sec0")
+
+
+@pytest.fixture(scope="module")
+def sect_oracle(sect_pages):
+    return oracle.build_oracle_index(split_pages_pdf(sect_pages),
+                                     from_html=True)
+
+
+@pytest.fixture(scope="module")
+def sect_engine(spark, sect_pages, tmp_path_factory):
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    d = tmp_path_factory.mktemp("splitix")
+    p = str(d / "pages.parquet")
+    sect_pages.to_parquet(p, index=False)
+    ix = str(d / "ix")
+    build_index(spark, p, ix, n_segments=4, split_sections=True)
+    return SearchEngine(spark, ix)
+
+
+QUERIES = ["baba", "baba AND bibaba", "bib*", "only0x0", "only3x1",
+           '"baba baba"', "baba OR lang:de", "only6x0 OR only6x1"]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_split_rank_identity(sect_engine, sect_oracle, q, mode):
+    got = sect_engine.search(q, k=20, mode=mode)
+    want = oracle.search(sect_oracle, q, k=20)
+    assert [u for u, _ in got] == [u for u, _ in want], (
+        f"{q!r} [{mode}]\n got={got[:5]}\nwant={want[:5]}")
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, (q, gu)
+
+
+def test_split_returns_declaration_level_hits(sect_engine):
+    """Searching a section marker returns THAT section's url#anchor —
+    the reference's declaration-level result granularity."""
+    got = sect_engine.search("only0x0", k=5)
+    assert got and got[0][0] == "https://sect.org/page/000000#sec0"
+
+
+def test_split_persisted_for_resume(spark, sect_pages, tmp_path_factory):
+    """split_sections is part of the frozen schema: a resumed build
+    re-applies it without the caller restating the flag."""
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    d = tmp_path_factory.mktemp("splitresume")
+    p = str(d / "pages.parquet")
+    sect_pages.to_parquet(p, index=False)
+    ix = str(d / "ix")
+    build_index(spark, p, ix, n_segments=4, split_sections=True,
+                segments_per_batch=2)
+    stats = spark.read.parquet(f"{ix}/stats").collect()[0]
+    assert bool(stats["split_sections"])
+    eng = SearchEngine(spark, ix)
+    assert eng.search("only0x0", k=2)[0][0].endswith("#sec0")
