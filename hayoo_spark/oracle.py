@@ -261,13 +261,25 @@ def search(
     return [(ix.urls[d], s) for d, s in ranked[off : off + k]]
 
 
-def autocomplete(ix: OracleIndex, prefix: str, n: int = 20) -> list[tuple[str, int]]:
-    """Completion: default-field dictionary terms under prefix, by
-    summed df desc then term (reference: `complete` endpoint,
-    hayoo-server/src/Hayoo/App.hs:101-111)."""
-    acc: dict[str, int] = {}
+def autocomplete(ix: OracleIndex, prefix: str,
+                 n: int = 20) -> list[tuple[str, float]]:
+    """SCORED completion: default-field dictionary terms under prefix,
+    score = Σ_field weight × df, desc then term (reference completions
+    carry scores, hayoo-server/src/Hayoo/App.hs:101-111)."""
+    acc: dict[str, float] = {}
     for (f, t), ps in ix.postings.items():
         if f in ix.default_fields and t.startswith(prefix):
-            acc[t] = acc.get(t, 0) + len(ps)
+            acc[t] = acc.get(t, 0.0) + ix.weights[f] * len(ps)
     cands = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
     return cands[:n]
+
+
+def search_frontend(ix: OracleIndex, query: str, k: int = P.PAGE_SIZE,
+                    page: int = 0) -> list[tuple[str, float]]:
+    """Oracle twin of SearchEngine.search_frontend (Q9 planner)."""
+    from .query.parser import parse_frontend
+
+    scores = evaluate(ix, parse_frontend(query))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], ix.urls[kv[0]]))
+    off = page * k
+    return [(ix.urls[d], s) for d, s in ranked[off : off + k]]

@@ -313,7 +313,21 @@ class SearchEngine:
 
     def search(self, query: str, k: int = P.PAGE_SIZE, page: int = 0,
                mode: str | None = None) -> list[tuple[str, float]]:
-        ast = self._rewrite_prefixes(parse(query))
+        return self._search_ast(parse(query), k, page, mode)
+
+    def search_frontend(self, query: str, k: int = P.PAGE_SIZE,
+                        page: int = 0,
+                        mode: str | None = None) -> list[tuple[str, float]]:
+        """Q9 — the packaged frontend planner: OR-union of the parsed
+        std query and the boosted AND-of-words fallback, with graceful
+        degradation on parse errors (parser.parse_frontend; reference
+        hayoo-server/src/Hayoo/App.hs:144-200)."""
+        from .parser import parse_frontend
+        return self._search_ast(parse_frontend(query), k, page, mode)
+
+    def _search_ast(self, ast: P.Node, k: int, page: int,
+                    mode: str | None) -> list[tuple[str, float]]:
+        ast = self._rewrite_prefixes(ast)
         needed = self._scoring_pairs(ast)
         m = (page + 1) * k
         if not needed:
@@ -613,20 +627,38 @@ class SearchEngine:
 
     # ---------------- autocomplete ----------------
 
-    def autocomplete(self, prefix: str, n: int = 20) -> list[tuple[str, int]]:
-        """Completion over the default fields' term dictionaries, df-desc
-        (reference: hayoo-server/src/Hayoo/App.hs:101-111)."""
+    def autocomplete(self, prefix: str,
+                     n: int = 20) -> list[tuple[str, float]]:
+        """SCORED completion over the default fields' term dictionaries
+        (reference completions carry scores, hayoo-server/src/Hayoo/
+        App.hs:101-111): score(term) = Σ over default fields of
+        field_weight × df — the same weight folding the scorer applies,
+        so completions rank like the results they lead to."""
         if self._dict is not None:
-            cands = self._dict_prefix_range(prefix, self.default_fields)
-            cands.sort(key=lambda kv: (-kv[1], kv[0]))
+            acc: dict[str, float] = {}
+            for f in self.default_fields:
+                d = self._dict.get(f)
+                if d is None:
+                    continue
+                w = self.field_weights.get(f, 1.0)
+                terms, dfs = d
+                lo = bisect.bisect_left(terms, prefix)
+                hi = bisect.bisect_left(terms, prefix + "￿")
+                for i in range(lo, hi):
+                    acc[terms[i]] = acc.get(terms[i], 0.0) + w * float(dfs[i])
+            cands = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
             return cands[:n]
+        wmap = F.create_map(*[
+            F.lit(x) for f in self.default_fields
+            for x in (f, float(self.field_weights.get(f, 1.0)))])
         rows = (
             self._terms_df
             .filter(F.col("field").isin(list(self.default_fields))
                     & F.col("term").startswith(prefix))
-            .groupBy("term").agg(F.sum("df").alias("df"))
-            .orderBy(F.col("df").desc(), F.col("term"))
+            .groupBy("term")
+            .agg(F.sum(wmap[F.col("field")] * F.col("df")).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("term"))
             .limit(n)
             .collect()
         )
-        return [(r["term"], r["df"]) for r in rows]
+        return [(r["term"], float(r["score"])) for r in rows]

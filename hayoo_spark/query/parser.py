@@ -83,6 +83,47 @@ def parse(q: str) -> Node:
     return node
 
 
+#: fallback-branch boost in the frontend planner (the default
+#: AND-of-words query is unioned in at a fraction of the std query's
+#: weight — hayoo-server/src/Hayoo/App.hs:144-165 multi-query planner)
+FRONTEND_FALLBACK_BOOST = 0.1
+_CONNECTIVES = frozenset(("and", "or", "not", "to"))
+
+
+def parse_frontend(q: str) -> Node:
+    """The packaged frontend planner (Q9): what a search box calls.
+
+    Reference ``parseHayooQuery`` ORs several derived queries with
+    per-branch boosts — the parsed std query, the signature branches
+    (scoped out per SURVEY §7), and a default AND-of-all-words fallback
+    (hayoo-server/src/Hayoo/App.hs:144-200).  Here:
+
+    - std = parse(q); a parse error drops the branch entirely (the
+      reference degrades to the word query on unparsable input);
+    - fallback = AND of the raw string's word tokens (standard
+      tokenizer, boolean connectives removed), boosted
+      FRONTEND_FALLBACK_BOOST;
+    - result = Or(std, fallback) — both branches contribute score,
+      matching Hunt's union-with-score-sum.
+    """
+    from ..analysis import tokenize_py
+
+    words = tuple(w for w in tokenize_py(q) if w not in _CONNECTIVES)
+    fallback = And(tuple(
+        Term(w, boost=FRONTEND_FALLBACK_BOOST) for w in words)) \
+        if words else None
+    try:
+        std = parse(q)
+    except QueryParseError:
+        std = None
+    if std is not None and std == And(()):
+        std = None
+    branches = tuple(b for b in (std, fallback) if b is not None)
+    if not branches:
+        return And(())
+    return branches[0] if len(branches) == 1 else Or(branches)
+
+
 def _parse_or(toks: list[str]):
     left, toks = _parse_and(toks)
     parts = [left]

@@ -120,6 +120,27 @@ def test_field_dictionaries_are_separate(mf_engine):
     assert set(mf_engine._dict["tag"][0]) == {"alpha", "beta", "gamma"}
 
 
+def test_autocomplete_weight_folding(mf_engine, mf_oracle):
+    """Completions fold field weights (title w=2.5 counts 2.5x body):
+    engine == oracle on a weighted schema, and a title-heavy term must
+    outrank a body-only term with equal raw df mass."""
+    from hayoo_spark import oracle as omod
+
+    for prefix in ["ba", "bi", "ca"]:
+        got = mf_engine.autocomplete(prefix, n=10)
+        want = omod.autocomplete(mf_oracle, prefix, n=10)
+        assert got == want, prefix
+        for t, s in got:
+            raw_df = sum(len(mf_oracle.postings.get((f, t), ()))
+                         for f in mf_oracle.default_fields)
+            w_df = sum(mf_oracle.weights[f]
+                       * len(mf_oracle.postings.get((f, t), ()))
+                       for f in mf_oracle.default_fields)
+            assert abs(s - w_df) < 1e-9
+            if len(mf_oracle.postings.get(("title", t), ())):
+                assert s > raw_df  # title weight actually folded in
+
+
 def test_fresh_multifield_ub_scale_is_one(mf_engine):
     """A fresh multi-field build has zero stat drift, so every field's
     block-bound admissibility factor must be exactly 1.0 — a cross-field
