@@ -274,6 +274,42 @@ def q_pkg_rank(spark, sf_dir):
         .select("node", "rank_x1e4")
 
 
+def q_cycle_edges(spark, sf_dir):
+    """R4 cycle-edge filter over a functional graph n -> (n*n+1) mod 25
+    on the nation keys (non-bijective: only 3 of 25 edges are cyclic).  Order-independent semantics (edges on ANY
+    directed cycle — drop them to obtain a DAG); the reference's
+    sequential union-find fold is input-order-dependent and documented
+    as the deviation (PackageRank.hs:197-241)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = nat.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * F.col("n_nationkey") + 1) % 25)
+        .cast("long").alias("dst"))
+    return graph.cycle_edges(edges)
+
+
+def s_url_frontier(spark, sf_dir):
+    """S6+S7 URI frontier filter + canonical rewrite: deterministic
+    link urls synthesized from customer keys (mixed-case hosts, denied
+    extensions, fragments, tracking queries), filtered through the
+    frontier predicate and normalized (ops/urls.py)."""
+    from hayoo_spark.ops import urls
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    url = F.concat(
+        F.when(k % 11 == 0, F.lit("ftp://")).otherwise(F.lit("https://")),
+        F.lit("Host"), (k % 7).cast("string"),
+        F.when(k % 3 == 0, F.lit(".org")).otherwise(F.lit(".net")),
+        F.lit("/P/"), k.cast("string"),
+        F.when(k % 5 == 0, F.lit(".jpg"))
+         .when(k % 5 == 1, F.lit("/"))
+         .when(k % 5 == 2, F.lit("?utm_source=x"))
+         .when(k % 5 == 3, F.lit("#frag"))
+         .otherwise(F.lit(".html")))
+    links = cust.select(url.alias("url"))
+    return urls.frontier(links, allow_host_re=r"\.org")
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -464,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_version_dedup": q_latest_version_dedup,
         "q_join_compose": q_join_compose,
         "q_transitive_closure": q_transitive_closure,
+        "q_cycle_edges": q_cycle_edges,
+        "s_url_frontier": s_url_frontier,
         "q_pkg_rank": q_pkg_rank,
         "q_events_sessionize": q_events_sessionize,
         "q_sessionize_stream": q_sessionize_stream,
@@ -643,6 +681,43 @@ p(src, dst) AS (
   UNION
   SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
 SELECT src, dst FROM p"""
+    func_edges = ("SELECT n_nationkey::BIGINT AS src, "
+                  "((n_nationkey * n_nationkey + 1) % 25)::BIGINT AS dst "
+                  "FROM nation")
+    sql["q_cycle_edges"] = f"""
+WITH RECURSIVE e AS ({func_edges}),
+p(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+SELECT e.src, e.dst FROM e
+WHERE EXISTS (SELECT 1 FROM p WHERE p.src = e.dst AND p.dst = e.src)"""
+    sql["s_url_frontier"] = r"""
+WITH links AS (
+  SELECT (CASE WHEN c_custkey % 11 = 0 THEN 'ftp://' ELSE 'https://' END)
+         || 'Host' || (c_custkey % 7)::VARCHAR
+         || (CASE WHEN c_custkey % 3 = 0 THEN '.org' ELSE '.net' END)
+         || '/P/' || c_custkey::VARCHAR
+         || (CASE c_custkey % 5 WHEN 0 THEN '.jpg' WHEN 1 THEN '/'
+             WHEN 2 THEN '?utm_source=x' WHEN 3 THEN '#frag'
+             ELSE '.html' END) AS url
+  FROM customer),
+kept AS (
+  SELECT url FROM links
+  WHERE regexp_matches(url, '^(?i)https?://')
+    AND regexp_matches(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                       '\.org')
+    AND NOT regexp_matches(url,
+      '(?i)\.(jpg|jpeg|png|gif|css|js|ico|svg|zip|gz|pdf|mp4|mp3)([?#].*)?$')),
+norm AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(u2, '^([^/]*//[^/]*)', 1))
+             || regexp_replace(u2, '^[^/]*//[^/]*', ''),
+           '([^/])/$', '\1') AS url
+  FROM (SELECT regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '\?utm_.*$', '') AS u2
+        FROM kept))
+SELECT DISTINCT url FROM norm"""
     sql["q_pkg_rank"] = f"""
 WITH RECURSIVE e AS ({edges_cte}),
 walks(node, wgt) AS (

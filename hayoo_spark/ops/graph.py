@@ -55,6 +55,27 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     return paths
 
 
+def cycle_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_iter: int = 50) -> DataFrame:
+    """R4 cycle-edge filter: the edges participating in any directed
+    cycle — (u, v) is cyclic iff v reaches u.
+
+    The reference removes cycle-closing edges with a SEQUENTIAL
+    input-order-dependent union-find fold
+    (hayooIndexer/src/Hayoo/PackageRank.hs:197-241) — semantics a
+    distributed engine cannot reproduce deterministically without
+    serializing the edge stream.  Documented deviation: this identifies
+    the order-INDEPENDENT cyclic edge set (u,v with v ⇝ u), which a
+    caller drops to obtain a DAG (the reference's goal), and which has
+    an exact recursive-CTE twin."""
+    base = edges.select(F.col(src).alias("src"),
+                        F.col(dst).alias("dst")).distinct()
+    closure = transitive_closure(base, max_iter=max_iter)
+    back = closure.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst"))
+    return base.join(back, ["src", "dst"], "left_semi")
+
+
 def dependents_rank(nodes: DataFrame, edges: DataFrame, key: str = "node",
                     src: str = "src", dst: str = "dst",
                     w: float = RANK_W, max_iter: int = 50) -> DataFrame:

@@ -223,3 +223,42 @@ def test_dependents_rank_satisfies_recursion(spark):
     for p in range(6):
         inc = sum(ranks[q] for q, d in e if d == p)
         assert abs(ranks[p] - (1.0 + 0.5 * inc)) < 1e-12, (p, ranks)
+
+
+def test_cycle_edges_identifies_cyclic_subset(spark):
+    """R4: exactly the edges lying on a directed cycle survive —
+    2-cycle, 3-cycle, self-loop in; tree/tail edges out."""
+    from hayoo_spark.ops import graph
+
+    e = [(1, 2), (2, 1),            # 2-cycle
+         (3, 4), (4, 5), (5, 3),    # 3-cycle
+         (6, 6),                    # self-loop
+         (7, 1), (5, 8), (9, 10)]   # acyclic in/out/tree edges
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {(r["src"], r["dst"]) for r in graph.cycle_edges(edges).collect()}
+    assert got == {(1, 2), (2, 1), (3, 4), (4, 5), (5, 3), (6, 6)}
+
+
+def test_url_frontier_filter_and_rewrite(spark):
+    """S6/S7: frontier predicate + canonical rewrite semantics."""
+    from hayoo_spark.ops import urls
+
+    rows = [
+        ("https://GoOd.Org/Path/Page#frag",),        # kept, host lowered,
+                                                     # fragment stripped
+        ("https://good.org/a/?utm_source=x",),       # tracking + slash
+        ("https://good.org/img/pic.JPG",),           # denied extension
+        ("ftp://good.org/p",),                       # bad scheme
+        ("https://other.net/p",),                    # host not allowed
+        ("https://good.org/",),                      # root -> no slash
+        ("https://good.org/dup", ), ("https://good.org/dup#x",),  # dedup
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = sorted(r["url"] for r in
+                 urls.frontier(df, allow_host_re=r"\.org$").collect())
+    assert got == [
+        "https://good.org",
+        "https://good.org/Path/Page",
+        "https://good.org/a",
+        "https://good.org/dup",
+    ]
