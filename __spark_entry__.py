@@ -310,6 +310,28 @@ def s_url_frontier(spark, sf_dir):
     return urls.frontier(links, allow_host_re=r"\.org")
 
 
+def s_meta_scan(spark, sf_dir):
+    """S3 cabal-style metadata scan: key/value header blocks (with a
+    continuation line and version constraints) synthesized from the
+    part keys, parsed with the JVM-regex block parser into the
+    dependency edge list the rank stage consumes (ops/meta.py;
+    reference: hayooIndexer cabal scan)."""
+    from hayoo_spark.ops import meta
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey").cast("long")
+    block = F.concat(
+        F.lit("name: pkg"), (k % 60).cast("string"),
+        F.lit("\nversion: "), (k % 7).cast("string"),
+        F.lit("."), (k % 3).cast("string"),
+        F.lit("\nsynopsis: part\n  "), F.col("p_name"),
+        F.lit("\nbuild-depends: base >=4."), (k % 5).cast("string"),
+        F.lit(", pkg"), ((k + 1) % 60).cast("string"),
+        F.lit(" ==1.2,\n  pkg"), ((k * 3) % 60).cast("string"),
+        F.lit("\n"))
+    docs = part.select(block.alias("meta"))
+    return meta.depends_edges(docs).select("src", "dst")
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -502,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transitive_closure": q_transitive_closure,
         "q_cycle_edges": q_cycle_edges,
         "s_url_frontier": s_url_frontier,
+        "s_meta_scan": s_meta_scan,
         "q_pkg_rank": q_pkg_rank,
         "q_events_sessionize": q_events_sessionize,
         "q_sessionize_stream": q_sessionize_stream,
@@ -692,6 +715,26 @@ p(src, dst) AS (
   SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
 SELECT e.src, e.dst FROM e
 WHERE EXISTS (SELECT 1 FROM p WHERE p.src = e.dst AND p.dst = e.src)"""
+    sql["s_meta_scan"] = r"""
+WITH m AS (
+  SELECT 'name: pkg' || (p_partkey % 60)::VARCHAR
+      || chr(10) || 'version: ' || (p_partkey % 7)::VARCHAR || '.'
+      || (p_partkey % 3)::VARCHAR
+      || chr(10) || 'synopsis: part' || chr(10) || '  ' || p_name
+      || chr(10) || 'build-depends: base >=4.' || (p_partkey % 5)::VARCHAR
+      || ', pkg' || ((p_partkey + 1) % 60)::VARCHAR || ' ==1.2,'
+      || chr(10) || '  pkg' || ((p_partkey * 3) % 60)::VARCHAR
+      || chr(10) AS meta
+  FROM part),
+folded AS (SELECT regexp_replace(meta, '\n[ \t]+', ' ', 'g') AS meta FROM m),
+kv AS (SELECT
+  trim(regexp_extract(meta, '(?im)^name[ \t]*:[ \t]*([^\n]*)', 1)) AS src,
+  trim(regexp_extract(meta, '(?im)^build-depends[ \t]*:[ \t]*([^\n]*)', 1))
+    AS deps
+  FROM folded),
+e AS (SELECT src, regexp_extract(trim(d), '^([A-Za-z0-9._-]+)', 1) AS dst
+      FROM kv, unnest(string_split_regex(deps, '\s*,\s*')) AS t(d))
+SELECT DISTINCT src, dst FROM e WHERE src <> '' AND dst <> ''"""
     sql["s_url_frontier"] = r"""
 WITH links AS (
   SELECT (CASE WHEN c_custkey % 11 = 0 THEN 'ftp://' ELSE 'https://' END)
