@@ -227,18 +227,23 @@ def main():
     scaling = None
     if DO_SCALING:
         # N vs 4N with the whole process tree taskset-confined to N cpus.
-        # Default pair 2:8 — on this box the >8-thread range is memory-
-        # bandwidth bound for the light phases, which measures the VM,
-        # not the engine (see BENCH/BASELINE.md methodology).
-        pair = os.environ.get("HAYOO_SCALE_PAIR", "2,8").split(",")
+        # Default pair 1:4 — this VM is a single socket, so core counts
+        # past ~4 add compute but NO memory bandwidth, and the build's
+        # heavy phases (Arrow combine, varbyte encode, columnar cache)
+        # are bandwidth-bound: measured per-core throughput is flat to
+        # 4 cores and drops ~30% by 8 (phase-uniform, no serial stage).
+        # A real cluster's 4N executors each bring their own memory
+        # controllers, so the within-socket 2:8 pair UNDERSTATES
+        # cluster scaling; both pairs are reported in BENCH/BASELINE.md.
+        pair = os.environ.get("HAYOO_SCALE_PAIR", "1,4").split(",")
         lo_cores, hi_cores = int(pair[0]), int(pair[1])
         ratio = hi_cores / lo_cores
         # scaling needs enough work to amortize fixed per-run costs
         # (job-submission latency, manifest commit are a few seconds
-        # regardless of corpus size; at 250k docs they are <5% of the
+        # regardless of corpus size; at 150k docs they are <5% of the
         # lo run, so the pair measures the engine, not the harness)
         scale_docs = max(BENCH_DOCS,
-                         int(os.environ.get("HAYOO_SCALE_DOCS", "250000")))
+                         int(os.environ.get("HAYOO_SCALE_DOCS", "150000")))
         # this VM has multi-minute host-contention windows that cut the
         # SAME build's throughput 2-2.5x (verified: identical code
         # measured 2278 and 5378 docs/s at 8 cpus ten minutes apart,

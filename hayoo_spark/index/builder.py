@@ -100,13 +100,19 @@ ENCODE_SCHEMA = StructType([
 # with the doc's positions already delta+varbyte packed.  ``fkey`` is
 # the small-int field index (constant within a term_h group — term_h
 # hashes (field, term)) so the encoder can pick the field's avgdl.
+# narrow integer types throughout the occurrence/combined stream: the
+# posting build is memory-bandwidth bound at high parallelism, so every
+# byte shipped through Arrow and the shuffle costs scaling efficiency.
+# doc_id is a PER-SEGMENT ordinal (int32 bounds a segment at 2^31 docs
+# — segments multiply with corpus size by design, a serving unit never
+# approaches that); dl/tf/pos are per-document counts.
 COMBINED_SCHEMA = StructType([
     StructField("segment", IntegerType()),
-    StructField("doc_id", LongType()),
-    StructField("dl", LongType()),
+    StructField("doc_id", IntegerType()),
+    StructField("dl", IntegerType()),
     StructField("fkey", IntegerType()),
     StructField("term_h", LongType()),
-    StructField("tf", LongType()),
+    StructField("tf", IntegerType()),
     StructField("pos_vb", BinaryType()),
 ])
 
@@ -221,24 +227,39 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     # BM25 scores are multiplied by it at query time
     if "boost" not in df.columns:
         df = df.withColumn("boost", F.lit(1.0))
-    out = (
-        extract_text(df)
-        .withColumn("segment",
-                    F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
-        .withColumn("_prev_url", F.lag("url").over(w_sort))
-        .filter(F.col("_prev_url").isNull() | (F.col("_prev_url") != F.col("url")))
-        .drop("_prev_url", "ord")
-    )
+    # sources that carry only (url, html) — e.g. tar archives — get
+    # null meta columns so the docs table keeps one schema everywhere
+    for c, t in (("warc_ts", "timestamp"), ("lang", "string")):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    pre = extract_text(df).withColumn(
+        "segment", F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int"))
+    # tokenize BEFORE the segment exchange and carry ONLY what the
+    # downstream passes read: html and the extracted text are several
+    # times the token arrays' bytes, and shipping them through the
+    # build's one corpus shuffle (and the docs cache behind it) was the
+    # largest single memory-bandwidth cost in the N-vs-4N profile —
+    # extraction/tokenization stay fused with the parquet scan instead
+    keep = ["url", "warc_ts", "lang", "boost", "ord", "segment"]
     for f in fields:
         if f.ftype == "date":
             # date context (IndexSchema.hs:111): store the source
             # timestamp column under the field name — no tokenization
             if f.name != f.source:
-                out = out.withColumn(f.name,
+                pre = pre.withColumn(f.name,
                                      F.col(f.source).cast("timestamp"))
+            if f.name not in keep:
+                keep.append(f.name)
             continue
-        out = out.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
+        pre = pre.withColumn(f"tokens_{f.name}", field_tokens_col(f)) \
                  .withColumn(f"dl_{f.name}", F.size(f"tokens_{f.name}").cast("long"))
+        keep += [f"tokens_{f.name}", f"dl_{f.name}"]
+    out = (
+        pre.select(*keep)
+        .withColumn("_prev_url", F.lag("url").over(w_sort))
+        .filter(F.col("_prev_url").isNull() | (F.col("_prev_url") != F.col("url")))
+        .drop("_prev_url", "ord")
+    )
     if drop_empty:
         # boring-doc filter (A8, FctIndexerCore.hs:84-111): drop docs
         # whose every DEFAULT field is empty — they can never score.
@@ -300,12 +321,15 @@ def _combine_span(pdf: pd.DataFrame):
     """Combine one doc-complete span of occurrence rows (see
     _combine_occurrences) into per-(doc, term) posting rows."""
     n = len(pdf)
-    seg = pdf["segment"].to_numpy(np.int64)
-    doc = pdf["doc_id"].to_numpy(np.int64)
-    dl = pdf["dl"].to_numpy(np.int64)
-    fk = pdf["fkey"].to_numpy(np.int64)
-    th = pdf["term_h"].to_numpy(np.int64)
-    pos = pdf["pos"].to_numpy(np.int64)
+    # native dtypes (int32 for everything but term_h): to_numpy with a
+    # wider dtype would cast-copy every column per Arrow batch, which
+    # costs exactly the bandwidth the narrow schema saves
+    seg = pdf["segment"].to_numpy()
+    doc = pdf["doc_id"].to_numpy()
+    dl = pdf["dl"].to_numpy()
+    fk = pdf["fkey"].to_numpy()
+    th = pdf["term_h"].to_numpy()
+    pos = pdf["pos"].to_numpy()
     # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key;
     # term_h hashes (field, term) so fkey/dl are constant per group
     order = np.lexsort((pos, th, doc, seg))
@@ -324,12 +348,12 @@ def _combine_span(pdf: pd.DataFrame):
     bstarts = np.concatenate(([0], bends[:-1]))
     mv = memoryview(buf)
     return pd.DataFrame({
-        "segment": seg_s[starts].astype(np.int32),
-        "doc_id": doc_s[starts],
-        "dl": dl_s[starts],
-        "fkey": fk_s[starts].astype(np.int32),
+        "segment": seg_s[starts].astype(np.int32, copy=False),
+        "doc_id": doc_s[starts].astype(np.int32, copy=False),
+        "dl": dl_s[starts].astype(np.int32, copy=False),
+        "fkey": fk_s[starts].astype(np.int32, copy=False),
         "term_h": th_s[starts],
-        "tf": (ends - starts).astype(np.int64),
+        "tf": (ends - starts).astype(np.int32, copy=False),
         "pos_vb": [bytes(mv[a:b]) for a, b in zip(bstarts, bends)],
     })
 
@@ -346,12 +370,12 @@ def _encode_factory(avgdls: list[float], block_size: int):
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
-        codes = pdf["term_h"].to_numpy(np.int64)
-        salts = pdf["salt"].to_numpy(np.int64)
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        fks = pdf["fkey"].to_numpy(np.int64)
-        tfs_all = pdf["tf"].to_numpy(np.int64)
+        codes = pdf["term_h"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        fks = pdf["fkey"].to_numpy()
+        tfs_all = pdf["tf"].to_numpy()
         pvb = pdf["pos_vb"].to_numpy(object)
         order = np.lexsort((docs, salts, codes))
         codes = codes[order]
@@ -470,57 +494,108 @@ def build_index(
     pending = [s for s in range(n_segments) if s not in done]
     batch_size = segments_per_batch or max(1, len(pending))
 
-    # global stats (N, per-field avgdl) must be frozen before any encode.
-    # Fast path: a fresh build whose FIRST batch covers the whole corpus
-    # folds the stats aggregation into the docs-write job via observe()
-    # — one corpus pass instead of two (a separate agg job was pure
-    # fixed cost in the N-vs-4N scaling measurement).  Resume reads the
-    # frozen stats back; partial-coverage builds (update_index rebuilds
-    # a segment subset after deleting stats/) still need the full agg.
-    fused_stats = (srows is None and len(pending) == n_segments
-                   and batch_size >= len(pending) and pending)
+    # global stats (N, per-field avgdl) must be frozen before any
+    # encode.  Resume reads them back; a fresh build computes them on
+    # the FIRST batch as a column-pruned read of the docs cache right
+    # after the combine job materializes it — the columnar cache serves
+    # the dl_* columns without touching html/text/token arrays, so the
+    # "stats pass" costs one cheap agg instead of a corpus pass.
+    need_stats = srows is None
     if srows is not None:
         n_docs = srows[0]["n_docs"]
         avgdl = {r["field"]: float(r["avgdl"]) for r in srows
                  if r.asDict().get("ftype", "text") != "date"}
-    elif not fused_stats:
+    elif not pending:
         a = docs.agg(*_stats_aggs(fields)).collect()[0]
         n_docs, avgdl = _write_stats(a, fields, drop_empty, split_sections,
                                      stats_path)
+        need_stats = False
     else:
-        n_docs, avgdl = -1, {}  # computed inside the first batch's write
+        n_docs, avgdl = -1, {}  # computed inside the first batch
 
     phase_t["stats_sec"] = round(time.monotonic() - t_phase, 2)
 
     metrics = {"segments_built": 0}
 
+    # Per-batch job schedule (minimizing idle cores between stages —
+    # measured ~8% of the 8-core build was job-boundary idle; on a
+    # 1000-executor cluster those gaps are whole-fleet stalls):
+    #   1. combine job: materializes the docs cache ONCE and the
+    #      persisted combined/per_term/term_dict relations;
+    #   2. stats agg (first fresh batch only): cheap cached read;
+    #   3. postings encode+write CONCURRENT with the docs write — the
+    #      encode needs avgdl, the docs write does not, and both read
+    #      only already-materialized state, so neither blocks the other
+    #      (overlapping two jobs that RACE to materialize a shared
+    #      cache convoys on the per-partition cache locks — measured
+    #      2.3x slower; hence the explicit materialize-first step).
+    from concurrent.futures import ThreadPoolExecutor
+
+    last_commit = None
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
         t0 = time.monotonic()
         seg_docs = docs.filter(F.col("segment").isin(batch))
-        obs = _write_docs(seg_docs, index_dir, fields, phase_t,
-                          observe_stats=fused_stats and i == 0)
-        if obs is not None:
-            n_docs, avgdl = _write_stats(obs.get, fields, drop_empty,
+        combined, per_term, term_dict = _combine_relations(seg_docs, fields)
+        t = time.monotonic()
+        per_term.count()   # pulls `combined` through the python combine
+        term_dict.count()
+        phase_t["combine_sec"] = round(
+            phase_t.get("combine_sec", 0.0) + time.monotonic() - t, 2)
+        if need_stats:
+            t = time.monotonic()
+            a = docs.agg(*_stats_aggs(fields)).collect()[0]
+            n_docs, avgdl = _write_stats(a, fields, drop_empty,
                                          split_sections, stats_path)
-        combined, per_term = _encode_postings(
-            spark, seg_docs, index_dir, avgdl, fields, block_size,
-            salt_df_threshold, n_salts, phase_t)
-        t1 = time.monotonic()
-        _commit_manifest(spark, index_dir, batch, t1 - t0, avgdl,
-                         seg_docs=seg_docs, per_term=per_term)
-        per_term.unpersist()
-        combined.unpersist()
-        phase_t["manifest_sec"] = round(
-            phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
+            need_stats = False
+            phase_t["stats_sec"] = round(
+                phase_t["stats_sec"] + time.monotonic() - t, 2)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_post = ex.submit(_write_postings, spark, combined, per_term,
+                               term_dict, index_dir, avgdl, fields,
+                               block_size, salt_df_threshold, n_salts,
+                               phase_t)
+            f_docs = ex.submit(_write_docs, seg_docs, index_dir, fields,
+                               phase_t)
+            f_post.result()
+            f_docs.result()
+        elapsed = time.monotonic() - t0
+
+        def _commit(batch=batch, elapsed=elapsed, seg_docs=seg_docs,
+                    combined=combined, per_term=per_term,
+                    term_dict=term_dict):
+            t1 = time.monotonic()
+            _commit_manifest(spark, index_dir, batch, elapsed, avgdl,
+                             seg_docs=seg_docs, per_term=per_term)
+            per_term.unpersist()
+            combined.unpersist()
+            term_dict.unpersist()
+            phase_t["manifest_sec"] = round(
+                phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
+
+        if i + batch_size < len(pending):
+            _commit()
+        else:
+            last_commit = _commit  # overlaps with finalize below
         metrics["segments_built"] += len(batch)
 
     metrics.update({"n_docs": int(n_docs),
                     "avgdl": {k: round(v, 3) for k, v in avgdl.items()}})
 
-    docs.unpersist()
+    # the LAST batch's manifest commit (driver-side lineage write + a
+    # small cached aggregation) is independent of finalize (a Spark job
+    # over the written postings): overlap them.  Crash-safe: finalize is
+    # mode("overwrite") and build_index always re-runs it on resume,
+    # so a manifest that lands before terms/ finishes cannot strand a
+    # half-finalized index.
     t1 = time.monotonic()
-    finalize(spark, index_dir)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(finalize, spark, index_dir)]
+        if last_commit is not None:
+            futs.append(ex.submit(last_commit))
+        for f in futs:
+            f.result()
+    docs.unpersist()
     phase_t["finalize_sec"] = round(time.monotonic() - t1, 2)
     metrics["phases"] = phase_t
     return metrics
@@ -602,12 +677,7 @@ def _write_docs(seg_docs, index_dir, fields, phase_t,
     return obs
 
 
-def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
-                     salt_df_threshold, n_salts, phase_t=None):
-    if phase_t is None:
-        phase_t = {}
-    t0 = time.monotonic()
-
+def _combine_relations(seg_docs, fields):
     # ONE shuffle for the whole posting build, over COMBINED rows: the
     # raw occurrence stream (64-bit term hashes, never strings) is
     # map-side combined to one row per (doc, term) with positions packed
@@ -625,13 +695,19 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
             continue  # date contexts carry no postings
         occ_parts.append(
             seg_docs.select(
-                "segment", "doc_id",
-                F.col(f"dl_{f.name}").alias("dl"),
+                "segment",
+                F.col("doc_id").cast("int").alias("doc_id"),
+                F.col(f"dl_{f.name}").cast("int").alias("dl"),
                 F.posexplode(f"tokens_{f.name}").alias("pos", "term"))
             .withColumn("field", F.lit(f.name))
             .withColumn("fkey", F.lit(fkeys[f.name]).cast("int")))
+        # term dictionary: per-doc array_distinct BEFORE the explode
+        # shrinks the distinct-aggregation input by ~avg-tf — this is
+        # the second full read of the cached token arrays, so the less
+        # it materializes the better the N-vs-4N bandwidth profile
         dict_parts.append(
-            seg_docs.select(F.explode(f"tokens_{f.name}").alias("term"))
+            seg_docs.select(
+                F.explode(F.array_distinct(f"tokens_{f.name}")).alias("term"))
             .withColumn("field", F.lit(f.name)))
     occ = occ_parts[0]
     for p in occ_parts[1:]:
@@ -646,7 +722,8 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
     for p in dict_parts[1:]:
         term_dict = term_dict.unionByName(p)
     term_dict = term_dict.distinct() \
-        .withColumn("term_h", F.xxhash64("field", "term"))
+        .withColumn("term_h", F.xxhash64("field", "term")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-(segment, term) relation feeds BOTH the heavy-term scan and the
     # manifest metrics (df sums, skew) — persisted so that aggregation
@@ -655,7 +732,17 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
                 .agg(F.count(F.lit(1)).alias("tdf"),
                      F.sum("tf").alias("seg_cf"))
                 .persist(StorageLevel.MEMORY_AND_DISK))
+    return combined, per_term, term_dict
 
+
+def _write_postings(spark, combined, per_term, term_dict, index_dir, avgdl,
+                    fields, block_size, salt_df_threshold, n_salts, phase_t):
+    """Salting + bucket encode + postings write.  Everything here reads
+    the persisted relations from ``_combine_relations`` — ``avgdl`` is
+    the only late input (it becomes known when the fused stats pass
+    finishes), which is what lets the combine materialization overlap
+    the docs write."""
+    t0 = time.monotonic()
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
     # split by doc id so no encode group is unbounded.  AQE does not
     # handle grouped-map skew, so this is explicit (SURVEY.md §4).
@@ -689,7 +776,6 @@ def _encode_postings(spark, seg_docs, index_dir, avgdl, fields, block_size,
      .parquet(os.path.join(index_dir, "postings")))
     phase_t["encode_sec"] = round(
         phase_t.get("encode_sec", 0.0) + time.monotonic() - t0, 2)
-    return combined, per_term
 
 
 def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
