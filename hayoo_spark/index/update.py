@@ -122,6 +122,25 @@ def update_index(
     return {"segments_rebuilt": len(segs)}
 
 
+def delete_docs(
+    spark: SparkSession,
+    pages_path: str,
+    index_dir: str,
+    urls: DataFrame,
+    **build_kwargs,
+) -> dict:
+    """Explicit document deletion (the reference's delete-before-insert
+    command stream also carries bare deletes — hunt's Delete command).
+
+    ``pages_path`` must already reflect the removal (it is the source
+    of truth); the owning segments are rebuilt without the victims via
+    the same delete-by-segment path as updates, so deletion cost is
+    O(affected segments), not O(corpus).  Stats (N, avgdl) refresh to
+    the post-delete corpus and the term dictionary re-finalizes."""
+    return update_index(spark, pages_path, index_dir,
+                        changed_urls=urls.select("url"), **build_kwargs)
+
+
 def streaming_ingest(
     spark: SparkSession,
     stream_dir: str,

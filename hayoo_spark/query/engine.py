@@ -449,6 +449,37 @@ class SearchEngine:
                 seg_rows.setdefault(seg, {})[p] = rows
         return seg_rows
 
+    def warm(self, top_terms: int = 256) -> int:
+        """Preload the raw-rows cache with the highest-df (field, term)
+        pairs over the default search fields.
+
+        The reference engine answers every query from an index held
+        entirely in RAM (Hunt loads its ContextIndex at startup;
+        hunt-searchengine's interpreter works on in-memory segment
+        maps) — this is the bounded-memory analogue: the Zipf head
+        accounts for most posting bytes touched by real query logs, so
+        warming it moves steady-state latency to the warm percentiles
+        without holding the whole index.  Returns pairs loaded."""
+        pairs: set[tuple[str, str]] = set()
+        if self._dict is not None:
+            for f in self.default_fields:
+                terms, dfs = self._dict.get(f, ([], np.zeros(0, np.int64)))
+                if not terms:
+                    continue
+                top = np.argsort(dfs, kind="stable")[::-1][:top_terms]
+                pairs |= {(f, terms[i]) for i in top}
+        else:
+            # distributed dictionary: one small ordered head per field
+            for f in self.default_fields:
+                rows = (self._terms_df
+                        .filter(F.col("field") == f)
+                        .orderBy(F.col("df").desc(), "term")
+                        .select("term").limit(top_terms).collect())
+                pairs |= {(f, r["term"]) for r in rows}
+        if pairs:
+            self._fetch_rows(pairs)
+        return len(pairs)
+
     def _search_local(self, ast, needed, m):
         """Serving-tier path: cached/pyarrow segment reads on the
         driver, fanned out over a thread pool (pyarrow releases the

@@ -139,3 +139,61 @@ def test_snapshot_atomic_update(spark, tmp_path_factory):
     removed = snapshot.prune(root, keep=1)
     assert removed == ["v000001"]
     assert SearchEngine(spark, root).search("mutated", k=5)
+
+
+def test_delete_docs_removes_and_matches_fresh_build(spark, tmp_path):
+    """Explicit deletion: victims vanish, survivors stay rank-identical
+    to the exact oracle over the reduced corpus, stats shrink."""
+    from hayoo_spark.index.update import delete_docs
+
+    base = fixtures.make_pages(150)
+    uniq = base["url"].value_counts()
+    victims = [u for u in base["url"] if uniq[u] == 1][:3]
+    reduced = base[~base["url"].isin(victims)].reset_index(drop=True)
+    p0 = tmp_path / "pages_v0.parquet"
+    p1 = tmp_path / "pages_v1.parquet"
+    base.to_parquet(p0, index=False)
+    reduced.to_parquet(p1, index=False)
+
+    ixdir = str(tmp_path / "ix")
+    build_index(spark, str(p0), ixdir, n_segments=4, salt_df_threshold=64)
+    res = delete_docs(spark, str(p1), ixdir,
+                      spark.createDataFrame([(u,) for u in victims],
+                                            "url string"),
+                      salt_df_threshold=64)
+    assert 0 < res["segments_rebuilt"] <= 4
+
+    ix = oracle.build_oracle_index(reduced, from_html=True)
+    eng = SearchEngine(spark, ixdir)
+    assert eng.n_docs == ix.n_docs
+    for u in victims:
+        assert eng.search(f"url:{u}", k=1) == [], u
+    for q in UPDATE_QUERIES[:5]:
+        got = eng.search(q, k=20)
+        want = oracle.search(ix, q, k=20)
+        assert [u for u, _ in got] == [u for u, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_engine_warm_preloads_rows_cache(spark, tmp_path):
+    """warm() loads the df-head pairs into the raw-rows cache; warmed
+    searches serve from memory and stay correct."""
+    pages = fixtures.make_pages(200)
+    src = tmp_path / "pages.parquet"
+    pages.to_parquet(src, index=False)
+    ixdir = str(tmp_path / "ix")
+    build_index(spark, str(src), ixdir, n_segments=4, salt_df_threshold=64)
+
+    eng = SearchEngine(spark, ixdir)
+    n = eng.warm(top_terms=32)
+    assert n > 0
+    # the heavy fixture term must be in the warmed head
+    assert any(t == "baba" for _f, t in eng._rows_mem)
+    before = len(eng._rows_mem)
+    ix = oracle.build_oracle_index(pages, from_html=True)
+    got = eng.search("baba", k=10)
+    want = oracle.search(ix, "baba", k=10)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    # a fully-warmed query adds no new cache entries
+    assert len(eng._rows_mem) == before
