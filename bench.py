@@ -212,6 +212,16 @@ def main():
             xs = sorted(xs)
             return round(1000 * xs[min(len(xs) - 1, int(p * len(xs)))], 1)
 
+        # concurrent serving throughput: 8 request threads replaying the
+        # warm query mix against ONE engine (the server deployment shape;
+        # thread-safety of the shared LRU is tested in the suite)
+        from concurrent.futures import ThreadPoolExecutor
+        reps_qps = ENGINE_QUERIES * 20
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(lambda q: eng.search(q, k=20), reps_qps))
+        qps = round(len(reps_qps) / (time.monotonic() - t0), 1)
+
         index_metrics = {
             **bi,
             "query_p50_ms": pctl(warm, 0.5),
@@ -220,6 +230,7 @@ def main():
             "query_cold_p99_ms": pctl(cold, 0.99),
             "query_spark_p50_ms": pctl(dist, 0.5),
             "query_spark_p99_ms": pctl(dist, 0.99),
+            "qps_8thread_warm": qps,
         }
         queries["engine_queries"] = round(sum(cold), 3)
         queries["engine_queries_warm"] = round(sum(warm), 3)

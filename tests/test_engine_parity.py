@@ -119,3 +119,23 @@ def test_stats_match_oracle(engine, oracle_ix):
     assert set(engine.avgdl) == set(oracle_ix.avgdl)
     for f in engine.avgdl:
         assert np.isclose(engine.avgdl[f], oracle_ix.avgdl[f])
+
+
+def test_concurrent_searches_are_consistent(engine, oracle_ix):
+    """A server's request threads share one engine: 8 threads hammering
+    a mixed query set (cold caches racing on the LRU) must each get the
+    single-threaded (= oracle-identical) result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = [q["query"] for q in QUERIES[:24]]
+    expected = {q: engine.search(q, k=10) for q in qs}
+    # force cold cache races: fresh engine state via cache clear
+    engine._rows_mem.clear()
+    engine._rows_mem_bytes = 0
+
+    def run(q):
+        return q, engine.search(q, k=10)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for q, got in ex.map(run, qs * 3):
+            assert got == expected[q], q
