@@ -332,6 +332,34 @@ def s_meta_scan(spark, sf_dir):
     return meta.depends_edges(docs).select("src", "dst")
 
 
+def s_crawl_frontier(spark, sf_dir):
+    """S5 crawl-loop analogue: depth-bounded BFS over a deterministic
+    link graph on the nation keys, with the S6/S7 frontier predicate +
+    canonical rewrite applied every round (ops/crawl.py).  The Spark side
+    generates NOISY hrefs (fragments, denied extensions, disallowed
+    hosts) that the loop must filter/normalize away; the oracle's
+    recursive CTE generates only the clean edges — any filtering bug
+    surfaces as extra rows."""
+    from hayoo_spark.ops import crawl
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("long")
+    page = lambda e: F.concat(F.lit("https://crawl.org/p"),  # noqa: E731
+                              e.cast("string"))
+    links = None
+    for href in (page((2 * n) % 25),
+                 F.concat(page((3 * n + 1) % 25), F.lit("#frag")),
+                 F.concat(F.lit("https://crawl.org/img"), n.cast("string"),
+                          F.lit(".jpg")),
+                 F.concat(F.lit("https://other.net/p"), n.cast("string"))):
+        part = nat.select(page(n).alias("src"), href.alias("href"))
+        links = part if links is None else links.unionByName(part)
+    seeds = spark.createDataFrame(
+        [("https://crawl.org/p0",), ("https://crawl.org/p1",)],
+        "url string")
+    return crawl.expand_frontier(links, seeds, rounds=3) \
+        .select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -525,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cycle_edges": q_cycle_edges,
         "s_url_frontier": s_url_frontier,
         "s_meta_scan": s_meta_scan,
+        "s_crawl_frontier": s_crawl_frontier,
         "q_pkg_rank": q_pkg_rank,
         "q_events_sessionize": q_events_sessionize,
         "q_sessionize_stream": q_sessionize_stream,
@@ -735,6 +764,22 @@ kv AS (SELECT
 e AS (SELECT src, regexp_extract(trim(d), '^([A-Za-z0-9._-]+)', 1) AS dst
       FROM kv, unnest(string_split_regex(deps, '\s*,\s*')) AS t(d))
 SELECT DISTINCT src, dst FROM e WHERE src <> '' AND dst <> ''"""
+    sql["s_crawl_frontier"] = """
+WITH RECURSIVE nodes AS (SELECT n_nationkey::BIGINT AS n FROM nation),
+links(src, dst) AS (
+  SELECT 'https://crawl.org/p' || n::VARCHAR,
+         'https://crawl.org/p' || ((2 * n) % 25)::VARCHAR FROM nodes
+  UNION
+  SELECT 'https://crawl.org/p' || n::VARCHAR,
+         'https://crawl.org/p' || ((3 * n + 1) % 25)::VARCHAR FROM nodes),
+bfs(url, depth) AS (
+  SELECT url, 0 FROM (VALUES ('https://crawl.org/p0'),
+                             ('https://crawl.org/p1')) AS s(url)
+  UNION
+  SELECT l.dst, b.depth + 1 FROM bfs b
+  JOIN links l ON l.src = b.url AND l.src <> l.dst
+  WHERE b.depth < 3)
+SELECT url, MIN(depth)::INT AS depth FROM bfs GROUP BY url"""
     sql["s_url_frontier"] = r"""
 WITH links AS (
   SELECT (CASE WHEN c_custkey % 11 = 0 THEN 'ftp://' ELSE 'https://' END)

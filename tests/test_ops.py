@@ -262,3 +262,27 @@ def test_url_frontier_filter_and_rewrite(spark):
         "https://good.org/a",
         "https://good.org/dup",
     ]
+
+
+def test_crawl_frontier_bfs_filters_and_min_depth(spark):
+    """S5 loop: BFS min-depth semantics, denied links never scheduled,
+    fragments normalized into the visited set."""
+    from hayoo_spark.ops import crawl
+
+    links = spark.createDataFrame([
+        ("https://a.org/s", "https://a.org/x"),
+        ("https://a.org/s", "https://a.org/y#frag"),   # normalizes to /y
+        ("https://a.org/x", "https://a.org/z"),
+        ("https://a.org/z", "https://a.org/x"),        # back edge: seen
+        ("https://a.org/x", "https://a.org/pic.jpg"),  # denied ext
+        ("https://a.org/x", "https://evil.net/p"),     # denied host
+        ("https://a.org/z", "https://a.org/deep"),
+        ("https://a.org/deep", "https://a.org/deeper"),  # beyond rounds
+    ], "src string, href string")
+    seeds = spark.createDataFrame([("https://a.org/s",)], "url string")
+    got = {(r["url"], r["depth"]) for r in
+           crawl.expand_frontier(links, seeds, rounds=3).collect()}
+    assert got == {("https://a.org/s", 0),
+                   ("https://a.org/x", 1), ("https://a.org/y", 1),
+                   ("https://a.org/z", 2),
+                   ("https://a.org/deep", 3)}
