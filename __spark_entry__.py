@@ -360,6 +360,25 @@ def s_crawl_frontier(spark, sf_dir):
         .select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def s_line_records(spark, sf_dir):
+    """S8/T11 line->record fold: marker-delimited records assembled
+    from a deterministic line stream over the customer keys
+    (sources/lines.py; reference: hoogle line parser's stateful
+    fold → distributed cumulative-sum form)."""
+    from hayoo_spark.sources import lines as L
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    text = F.when(k % 5 == 0,
+                  F.concat(F.lit("@package pkg"), (k / 5).cast("long")
+                           .cast("string"))) \
+        .otherwise(F.concat(F.lit("line "), k.cast("string")))
+    df = cust.select(k.alias("line_no"), text.alias("text"))
+    return (L.assemble_records(df)
+            .select(F.col("record_id").cast("long").alias("record_id"),
+                    "header", "body",
+                    F.col("n_lines").cast("int").alias("n_lines")))
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -554,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_url_frontier": s_url_frontier,
         "s_meta_scan": s_meta_scan,
         "s_crawl_frontier": s_crawl_frontier,
+        "s_line_records": s_line_records,
         "q_pkg_rank": q_pkg_rank,
         "q_events_sessionize": q_events_sessionize,
         "q_sessionize_stream": q_sessionize_stream,
@@ -764,6 +784,23 @@ kv AS (SELECT
 e AS (SELECT src, regexp_extract(trim(d), '^([A-Za-z0-9._-]+)', 1) AS dst
       FROM kv, unnest(string_split_regex(deps, '\s*,\s*')) AS t(d))
 SELECT DISTINCT src, dst FROM e WHERE src <> '' AND dst <> ''"""
+    sql["s_line_records"] = r"""
+WITH l AS (
+  SELECT c_custkey::BIGINT AS line_no,
+         CASE WHEN c_custkey % 5 = 0
+              THEN '@package pkg' || (c_custkey // 5)::VARCHAR
+              ELSE 'line ' || c_custkey::VARCHAR END AS text
+  FROM customer),
+r AS (
+  SELECT line_no, text,
+         SUM(CASE WHEN regexp_matches(text, '^@package\b')
+                  THEN 1 ELSE 0 END) OVER (ORDER BY line_no) AS record_id
+  FROM l)
+SELECT record_id::BIGINT AS record_id,
+       arg_min(text, line_no) AS header,
+       string_agg(text, chr(10) ORDER BY line_no) AS body,
+       COUNT(*)::INT AS n_lines
+FROM r WHERE record_id > 0 GROUP BY record_id"""
     sql["s_crawl_frontier"] = """
 WITH RECURSIVE nodes AS (SELECT n_nationkey::BIGINT AS n FROM nation),
 links(src, dst) AS (
