@@ -472,6 +472,20 @@ def t_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
 
+def s_insert_commands(spark, sf_dir):
+    """S10 data shape: Hunt ApiDocument insert commands emitted from
+    the documents table (sinks/commands.py; reference ApiDocument.hs
+    30-50).  Map columns are projected to scalars for the hash compare
+    (map key order is engine-dependent)."""
+    from hayoo_spark.sinks import commands as C
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id").cast("string"))
+        .alias("url"), "text")
+    api = C.api_documents(docs)
+    return api.select(
+        "uri", F.col("index")["text"].alias("index_text"))
+
+
 def t_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir)) \
         .select("doc_id", "n_tokens", "quality_x1e4")
@@ -586,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "mm_payload_stats": mm_payload_stats,
+        "s_insert_commands": s_insert_commands,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -898,6 +913,15 @@ SELECT doc_id,
        md5(text) AS digest,
        (octet_length(encode(text)) + 1023) // 1024 AS n_chunks
 FROM documents"""
+    sql["s_insert_commands"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     x -> length(x) >= {MIN_TOKEN_LEN}) AS ts
+  FROM documents)
+SELECT 'https://doc/' || doc_id::VARCHAR AS uri,
+       array_to_string(ts, ' ') AS index_text
+FROM toks WHERE len(ts) > 0"""
     sql["t_token_count"] = f"""
 SELECT doc_id,
        len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
