@@ -179,6 +179,18 @@ def extract_text(df: DataFrame, html_col: str = "html",
 
 def field_tokens_col(f: FieldSpec):
     """Token array for one field spec (see fields.FieldSpec.source)."""
+    if f.source in ("sig_norm", "sig_subsig"):
+        # signature contexts (T7-T10): terms are whole normalized
+        # signature strings from the parser, not tokenizer output —
+        # Arrow-batched python, the same pure function the oracle uses
+        from ..signature import index_terms
+        kind = f.source
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _sig_terms(col: pd.Series) -> pd.Series:
+            return col.map(lambda v: index_terms(v, kind))
+
+        return _sig_terms(F.col("signature"))
     if f.source == "body":
         return tokens_col("text_x")
     if f.source == "body_cs":

@@ -53,6 +53,15 @@ class FieldSpec:
 #: scoring (weight 1.0 on extracted body text)
 DEFAULT_FIELDS: tuple[FieldSpec, ...] = (FieldSpec("text", 1.0, True, "body"),)
 
+#: the reference's signature contexts (IndexSchema.hs:123-136): both
+#: NoDefault, subsig at half the signature weight; terms come from the
+#: signature parser (signature.py), not the tokenizer
+SIGNATURE_FIELDS: tuple[FieldSpec, ...] = (
+    FieldSpec("text", 1.0, True, "body"),
+    FieldSpec("signature", 1.0, False, "sig_norm"),
+    FieldSpec("subsig", 0.5, False, "sig_subsig"),
+)
+
 
 def fkey_of(fields: tuple[FieldSpec, ...]) -> dict[str, int]:
     """Stable small-int key per field (order of declaration)."""

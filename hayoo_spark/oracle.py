@@ -82,6 +82,17 @@ def _field_text(row, f: FieldSpec, from_html: bool) -> tuple[str, bool]:
     return str(row[f.source]), True
 
 
+def _field_tokens_py(row, f: FieldSpec, from_html: bool) -> list[str]:
+    """Token list for one field of one page row — signature contexts
+    bypass the tokenizer (terms ARE normalized signature strings; the
+    same pure function the builder's pandas UDF applies)."""
+    if f.source in ("sig_norm", "sig_subsig"):
+        from .signature import index_terms
+        return index_terms(row.get("signature"), f.source)
+    text, lower = _field_text(row, f, from_html)
+    return tokenize_py(text, lowercase=lower)
+
+
 def build_oracle_index(
     pages: pd.DataFrame, from_html: bool = False,
     fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
@@ -98,8 +109,7 @@ def build_oracle_index(
             for f in fields:
                 if not f.default:
                     continue
-                text, lower = _field_text(row, f, from_html)
-                if tokenize_py(text, lowercase=lower):
+                if _field_tokens_py(row, f, from_html):
                     return True
             return False
 
@@ -112,8 +122,7 @@ def build_oracle_index(
     for doc in range(n):
         row = dedup.iloc[doc]
         for f in fields:
-            text, lower = _field_text(row, f, from_html)
-            toks = tokenize_py(text, lowercase=lower)
+            toks = _field_tokens_py(row, f, from_html)
             dl[f.name][doc] = len(toks)
             for pos, t in enumerate(toks):
                 positions.setdefault((f.name, t), {}) \

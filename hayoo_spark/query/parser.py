@@ -87,6 +87,8 @@ def parse(q: str) -> Node:
 #: AND-of-words query is unioned in at a fraction of the std query's
 #: weight — hayoo-server/src/Hayoo/App.hs:144-165 multi-query planner)
 FRONTEND_FALLBACK_BOOST = 0.1
+#: the reference's reduced score for subsignature matches (App.hs:185)
+SIG_SUBSIG_BOOST = 0.1
 _CONNECTIVES = frozenset(("and", "or", "not", "to"))
 
 
@@ -98,27 +100,65 @@ def parse_frontend(q: str) -> Node:
     (scoped out per SURVEY §7), and a default AND-of-all-words fallback
     (hayoo-server/src/Hayoo/App.hs:144-200).  Here:
 
+    - sig (App.hs:169-200): if the query parses as a type signature,
+      OR of a case-sensitive PREFIX query on the ``signature`` context
+      with a 0.1-boosted AND of exact subsignature words on the
+      ``subsig`` context; queries without an arrow must reach
+      complexity ≥ 3 to qualify (complexSignatures 3).  An arrow-marked
+      query SKIPS the std branch entirely (``isSig`` guard);
     - std = parse(q); a parse error drops the branch entirely (the
       reference degrades to the word query on unparsable input);
     - fallback = AND of the raw string's word tokens (standard
       tokenizer, boolean connectives removed), boosted
       FRONTEND_FALLBACK_BOOST;
-    - result = Or(std, fallback) — both branches contribute score,
-      matching Hunt's union-with-score-sum.
+    - result = Or of the live branches — each contributes score,
+      matching Hunt's union-with-score-sum.  (Deviation: for non-sig
+      queries the word fallback ORs alongside std instead of only on
+      total parse failure — a documented rank nudge the oracle
+      mirrors, since both sides share this planner.)
     """
+    from .. import signature as SIG
     from ..analysis import tokenize_py
+
+    is_sig = SIG.is_signature_query(q)
+    sigq = None
+    try:
+        sig = SIG.parse_norm(q.strip().strip('"'))
+    except ValueError:
+        sig = None
+    if sig is not None and not is_sig and SIG.count_complex(sig) < 3:
+        sig = None  # too simple to be meant as a signature
+    if sig is not None:
+        sig1 = Prefix(SIG.pretty_signature(sig), field="signature")
+        subs = SIG.complex_signatures(1, SIG.sub_signatures(sig))
+        if subs:
+            sub_and = And(tuple(
+                Term(SIG.pretty_signature(s), field="subsig",
+                     boost=SIG_SUBSIG_BOOST) for s in subs))
+            sigq = Or((sig1, sub_and))
+        else:
+            sigq = sig1
 
     words = tuple(w for w in tokenize_py(q) if w not in _CONNECTIVES)
     fallback = And(tuple(
         Term(w, boost=FRONTEND_FALLBACK_BOOST) for w in words)) \
         if words else None
-    try:
-        std = parse(q)
-    except QueryParseError:
-        std = None
-    if std is not None and std == And(()):
-        std = None
-    branches = tuple(b for b in (std, fallback) if b is not None)
+    std = None
+    if not is_sig:
+        try:
+            std = parse(q)
+        except QueryParseError:
+            std = None
+        if std is not None and std == And(()):
+            std = None
+    if is_sig:
+        # arrow-marked: signature semantics only; words fall back only
+        # when the signature does not parse (the reference's defq)
+        branches = tuple(b for b in (sigq,) if b is not None) \
+            or tuple(b for b in (fallback,) if b is not None)
+    else:
+        branches = tuple(b for b in (sigq, std, fallback)
+                         if b is not None)
     if not branches:
         return And(())
     return branches[0] if len(branches) == 1 else Or(branches)
