@@ -31,6 +31,14 @@ def main(argv=None):
     ap.add_argument("--select", default=None,
                     help="comma-separated stored fields to project onto "
                          "hits (Q12), e.g. lang,warc_ts,dl_text")
+    ap.add_argument("--warm", type=int, default=0, metavar="N",
+                    help="preload the N highest-df terms per default "
+                         "field before serving (the reference's "
+                         "index-in-RAM startup, bounded)")
+    ap.add_argument("--frontend", action="store_true",
+                    help="route queries through the frontend planner "
+                         "(std/signature/fallback branches) instead of "
+                         "the raw query language")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,6 +51,8 @@ def main(argv=None):
     from hayoo_spark.query.engine import SearchEngine
 
     eng = SearchEngine(spark, args.index, mode=args.mode)
+    if args.warm:
+        eng.warm(top_terms=args.warm)
     queries = args.query or [ln.strip() for ln in sys.stdin if ln.strip()]
     for q in queries:
         if args.select:
@@ -50,7 +60,8 @@ def main(argv=None):
             rows = eng.search_docs(q, k=args.k, page=args.page, fields=fields)
             print(json.dumps({"query": q, "hits": rows}, default=str))
         else:
-            hits = eng.search(q, k=args.k, page=args.page)
+            search = eng.search_frontend if args.frontend else eng.search
+            hits = search(q, k=args.k, page=args.page)
             print(json.dumps({"query": q,
                               "hits": [{"url": u, "score": s} for u, s in hits]}))
 
