@@ -372,7 +372,12 @@ def s_line_records(spark, sf_dir):
                   F.concat(F.lit("@package pkg"), (k / 5).cast("long")
                            .cast("string"))) \
         .otherwise(F.concat(F.lit("line "), k.cast("string")))
-    df = cust.select(k.alias("line_no"), text.alias("text"))
+    # one synthetic "file": an explicit constant partition column — the
+    # informed-caller form the API demands (a global default would fold
+    # arbitrarily large corpora in one task); real readers partition by
+    # input file (read_text_records)
+    df = cust.select(F.lit(0).alias("file"), k.alias("line_no"),
+                     text.alias("text"))
     return (L.assemble_records(df)
             .select(F.col("record_id").cast("long").alias("record_id"),
                     "header", "body",
@@ -484,6 +489,62 @@ def s_insert_commands(spark, sf_dir):
     api = C.api_documents(docs)
     return api.select(
         "uri", F.col("index")["text"].alias("index_text"))
+
+
+def s_command_stream(spark, sf_dir):
+    """S10 full Hunt command language (sinks/commands.py): the
+    delete-before-insert stream — delete-by-query per distinct source
+    context value (FctIndexerCore.hs:95-105), boost-weighted inserts
+    (ApiDocument.hs:30-50), and update-weight commands for the rank
+    pass (JsonUtil.hs:115-121) — emitted as real JSON by the sink,
+    parsed back and projected to scalars (JSON key order and float
+    rendering are engine-dependent; the parse proves the shape)."""
+    from hayoo_spark.sinks import commands as C
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://doc/"), k.cast("string"))
+    pages = docs.select(url.alias("url"), "text",
+                        F.when(k % 10 == 0, 2.5).otherwise(1.0)
+                        .alias("boost"))
+    inserts = C.insert_commands(pages)
+    deletes = C.delete_by_query_commands(
+        docs.select(F.col("source").alias("name")).distinct(),
+        "name", "source")
+    updates = C.update_weight_commands(
+        docs.filter(k % 7 == 0)
+        .select(url.alias("url"),
+                ((k % 5).cast("double") + 0.5).alias("boost")))
+    ins_s = ("cmd string, document struct<uri string, "
+             "index map<string,string>, weight double>")
+    parsed_ins = (inserts
+                  .select(F.from_json("value", ins_s).alias("c"))
+                  .select(F.col("c.cmd").alias("kind"),
+                          F.col("c.document.uri").alias("uri"),
+                          F.col("c.document.weight").alias("weight"),
+                          F.length(F.col("c.document.index")["text"])
+                          .cast("long").alias("n_chars_indexed"),
+                          F.lit(None).cast("string").alias("word")))
+    del_s = ("cmd string, query struct<type string, "
+             "contexts array<string>, "
+             "query struct<op string, type string, word string>>")
+    parsed_del = (deletes
+                  .select(F.from_json("value", del_s).alias("c"))
+                  .select(F.col("c.cmd").alias("kind"),
+                          F.lit(None).cast("string").alias("uri"),
+                          F.lit(None).cast("double").alias("weight"),
+                          F.lit(None).cast("long")
+                          .alias("n_chars_indexed"),
+                          F.col("c.query.query.word").alias("word")))
+    upd_s = "cmd string, document struct<uri string, weight double>"
+    parsed_upd = (updates
+                  .select(F.from_json("value", upd_s).alias("c"))
+                  .select(F.col("c.cmd").alias("kind"),
+                          F.col("c.document.uri").alias("uri"),
+                          F.col("c.document.weight").alias("weight"),
+                          F.lit(None).cast("long")
+                          .alias("n_chars_indexed"),
+                          F.lit(None).cast("string").alias("word")))
+    return parsed_ins.unionByName(parsed_del).unionByName(parsed_upd)
 
 
 def t_quality(spark, sf_dir):
@@ -601,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "mm_payload_stats": mm_payload_stats,
         "s_insert_commands": s_insert_commands,
+        "s_command_stream": s_command_stream,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -922,6 +984,26 @@ WITH toks AS (
 SELECT 'https://doc/' || doc_id::VARCHAR AS uri,
        array_to_string(ts, ' ') AS index_text
 FROM toks WHERE len(ts) > 0"""
+    sql["s_command_stream"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     x -> length(x) >= {MIN_TOKEN_LEN}) AS ts
+  FROM documents)
+SELECT 'insert' AS kind,
+       'https://doc/' || doc_id::VARCHAR AS uri,
+       CASE WHEN doc_id % 10 = 0 THEN 2.5 END AS weight,
+       CASE WHEN len(ts) > 0
+            THEN length(array_to_string(ts, ' ')) END AS n_chars_indexed,
+       NULL::VARCHAR AS word
+FROM toks WHERE len(ts) > 0 OR doc_id % 10 = 0
+UNION ALL
+SELECT 'delete-by-query', NULL, NULL, NULL, source
+FROM (SELECT DISTINCT source FROM documents)
+UNION ALL
+SELECT 'update', 'https://doc/' || doc_id::VARCHAR,
+       (doc_id % 5)::DOUBLE + 0.5, NULL, NULL
+FROM documents WHERE doc_id % 7 = 0"""
     sql["t_token_count"] = f"""
 SELECT doc_id,
        len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),

@@ -48,8 +48,15 @@ def expand_frontier(links: DataFrame, seeds: DataFrame, rounds: int = 3,
     visited = seeds.select(F.col("url"), F.lit(0).alias("depth"))
     frontier = visited.select("url")
     for depth in range(1, rounds + 1):
+        # EXPLICIT broadcast: the frontier is a derived relation with
+        # no size stats, so Catalyst can't know it's the small side —
+        # without the hint a round may shuffle the full links table.
+        # One crawl round's frontier is bounded by politeness budget
+        # (thousands of hosts × per-host cap), always the small side
+        # against a web-scale links table.
         nxt = (norm_links
-               .join(frontier.withColumnRenamed("url", "src"), "src")
+               .join(F.broadcast(frontier.withColumnRenamed("url", "src")),
+                     "src")
                .select(F.col("dst").alias("url"))
                .distinct()
                .join(visited.select("url"), "url", "left_anti")

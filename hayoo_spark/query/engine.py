@@ -411,52 +411,73 @@ class SearchEngine:
             os.path.join(self.index_dir, "postings", "segment=*")))
         return tuple((d, os.path.getmtime(d)) for d in dirs)
 
+    @staticmethod
+    def _rows_bytes(by: dict[int, list]) -> int:
+        return sum(len(r.ids_vb) + len(r.tfs_vb) + len(r.pos_vb) + 256
+                   for rows in by.values() for r in rows)
+
+    def _read_pairs(self, missing: list[tuple[str, str]],
+                    ) -> dict[tuple[str, str], dict[int, list]]:
+        """Parquet read for cache-missing pairs — ONE dataset scan,
+        row-group-pruned via the term filter since postings are
+        term-sorted per file.  Called WITHOUT the engine lock held."""
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(
+            os.path.join(self.index_dir, "postings"),
+            filters=[("term", "in", sorted({t for _, t in missing})),
+                     ("field", "in", sorted({f for f, _ in missing}))],
+        ).to_pandas()
+        got: dict[tuple[str, str], dict[int, list]] = \
+            {p: {} for p in missing}
+        if len(tbl):
+            tbl["segment"] = tbl["segment"].astype(int)  # hive col is categorical
+            for row in tbl.itertuples(index=False):
+                ent = got.get((row.field, row.term))
+                if ent is not None:
+                    ent.setdefault(int(row.segment), []).append(row)
+        return got
+
     def _fetch_rows(self, pairs: set[tuple[str, str]]) -> dict[int, dict]:
         """Raw posting rows for the (field, term) pairs, as
         {segment: {pair: [row, ...]}} — served from the engine-level
-        LRU cache; only cache-missing pairs touch parquet (ONE dataset
-        scan, row-group-pruned via the term filter since postings are
-        term-sorted per file)."""
-        with self._lock:
-            return self._fetch_rows_locked(pairs)
+        LRU cache; only cache-missing pairs touch parquet.
 
-    def _fetch_rows_locked(self, pairs: set[tuple[str, str]]) -> dict[int, dict]:
-        stamp = self._postings_stamp()
-        if stamp != self._rows_stamp:
-            self._rows_mem.clear()
-            self._rows_mem_bytes = 0
-            self._rows_stamp = stamp
-        missing = [p for p in pairs if p not in self._rows_mem]
-        if missing:
-            import pyarrow.parquet as pq
-            tbl = pq.read_table(
-                os.path.join(self.index_dir, "postings"),
-                filters=[("term", "in", sorted({t for _, t in missing})),
-                         ("field", "in", sorted({f for f, _ in missing}))],
-            ).to_pandas()
-            got: dict[tuple[str, str], dict[int, list]] = \
-                {p: {} for p in missing}
-            if len(tbl):
-                tbl["segment"] = tbl["segment"].astype(int)  # hive col is categorical
-                for row in tbl.itertuples(index=False):
-                    ent = got.get((row.field, row.term))
-                    if ent is not None:
-                        ent.setdefault(int(row.segment), []).append(row)
-            for p, by in got.items():
-                self._rows_mem[p] = by
-                self._rows_mem_bytes += sum(
-                    len(r.ids_vb) + len(r.tfs_vb) + len(r.pos_vb) + 256
-                    for rows in by.values() for r in rows)
-            # LRU eviction (never the pairs this query needs)
-            for p in list(self._rows_mem):
-                if self._rows_mem_bytes <= self._rows_mem_budget:
-                    break
-                if p in pairs:
-                    continue
-                by = self._rows_mem.pop(p)
-                self._rows_mem_bytes -= sum(
-                    len(r.ids_vb) + len(r.tfs_vb) + len(r.pos_vb) + 256
-                    for rows in by.values() for r in rows)
+        The lock covers only the stamp check / cache bookkeeping, NOT
+        the parquet read: a cold (cache-missing) query must not
+        head-of-line block fully-warm concurrent queries.  If the index
+        is swapped under a read (stamp changes), the stale rows are
+        discarded and the fetch retries against the new postings."""
+        while True:
+            with self._lock:
+                stamp = self._postings_stamp()
+                if stamp != self._rows_stamp:
+                    self._rows_mem.clear()
+                    self._rows_mem_bytes = 0
+                    self._rows_stamp = stamp
+                missing = [p for p in pairs if p not in self._rows_mem]
+                if not missing:
+                    return self._assemble_locked(pairs)
+            got = self._read_pairs(missing)  # lock dropped: slow I/O
+            with self._lock:
+                if self._rows_stamp != stamp:
+                    continue  # index replaced mid-read: rows are stale
+                for p, by in got.items():
+                    if p in self._rows_mem:  # raced with another cold query
+                        continue
+                    self._rows_mem[p] = by
+                    self._rows_mem_bytes += self._rows_bytes(by)
+                # LRU eviction (never the pairs this query needs)
+                for p in list(self._rows_mem):
+                    if self._rows_mem_bytes <= self._rows_mem_budget:
+                        break
+                    if p in pairs:
+                        continue
+                    self._rows_mem_bytes -= \
+                        self._rows_bytes(self._rows_mem.pop(p))
+                return self._assemble_locked(pairs)
+
+    def _assemble_locked(self, pairs: set[tuple[str, str]],
+                         ) -> dict[int, dict]:
         seg_rows: dict[int, dict] = {}
         for p in pairs:
             by = self._rows_mem.get(p)

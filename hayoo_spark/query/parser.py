@@ -83,13 +83,8 @@ def parse(q: str) -> Node:
     return node
 
 
-#: fallback-branch boost in the frontend planner (the default
-#: AND-of-words query is unioned in at a fraction of the std query's
-#: weight — hayoo-server/src/Hayoo/App.hs:144-165 multi-query planner)
-FRONTEND_FALLBACK_BOOST = 0.1
 #: the reference's reduced score for subsignature matches (App.hs:185)
 SIG_SUBSIG_BOOST = 0.1
-_CONNECTIVES = frozenset(("and", "or", "not", "to"))
 
 
 def parse_frontend(q: str) -> Node:
@@ -106,19 +101,15 @@ def parse_frontend(q: str) -> Node:
       ``subsig`` context; queries without an arrow must reach
       complexity ≥ 3 to qualify (complexSignatures 3).  An arrow-marked
       query SKIPS the std branch entirely (``isSig`` guard);
-    - std = parse(q); a parse error drops the branch entirely (the
-      reference degrades to the word query on unparsable input);
-    - fallback = AND of the raw string's word tokens (standard
-      tokenizer, boolean connectives removed), boosted
-      FRONTEND_FALLBACK_BOOST;
+    - std = parse(q); a parse error drops the branch entirely;
+    - defq = AND of the raw string's whitespace words (quotes
+      stripped, no-case, unboosted), added ONLY when both the sig and
+      std branches are empty — exactly the reference's gating
+      (App.hs:155-164 ``defq | null sigq && null stdq``);
     - result = Or of the live branches — each contributes score,
-      matching Hunt's union-with-score-sum.  (Deviation: for non-sig
-      queries the word fallback ORs alongside std instead of only on
-      total parse failure — a documented rank nudge the oracle
-      mirrors, since both sides share this planner.)
+      matching Hunt's union-with-score-sum.
     """
     from .. import signature as SIG
-    from ..analysis import tokenize_py
 
     is_sig = SIG.is_signature_query(q)
     sigq = None
@@ -139,10 +130,6 @@ def parse_frontend(q: str) -> Node:
         else:
             sigq = sig1
 
-    words = tuple(w for w in tokenize_py(q) if w not in _CONNECTIVES)
-    fallback = And(tuple(
-        Term(w, boost=FRONTEND_FALLBACK_BOOST) for w in words)) \
-        if words else None
     std = None
     if not is_sig:
         try:
@@ -151,15 +138,15 @@ def parse_frontend(q: str) -> Node:
             std = None
         if std is not None and std == And(()):
             std = None
-    if is_sig:
-        # arrow-marked: signature semantics only; words fall back only
-        # when the signature does not parse (the reference's defq)
-        branches = tuple(b for b in (sigq,) if b is not None) \
-            or tuple(b for b in (fallback,) if b is not None)
-    else:
-        branches = tuple(b for b in (sigq, std, fallback)
-                         if b is not None)
+    branches = tuple(b for b in (sigq, std) if b is not None)
     if not branches:
+        # the reference's defq: only when BOTH parsers produced nothing
+        # (App.hs:155-164) — AND of the whitespace words, quotes
+        # stripped, plain no-case word semantics, no boost
+        words = tuple(w.strip('"') for w in q.split())
+        words = tuple(w for w in words if w)
+        if words:
+            return And(tuple(Term(w) for w in words))
         return And(())
     return branches[0] if len(branches) == 1 else Or(branches)
 

@@ -464,6 +464,13 @@ class SegmentEvaluator:
                 plo, phi = P.iso_prefix_bounds(node.lo, node.hi)
                 lo, hi = np.datetime64(plo), np.datetime64(phi)
                 arr = s.extra.get(node.field)
+                if arr is None and node.field == "warc_ts":
+                    # a date context SOURCED from the known warc_ts doc
+                    # column keeps its own name out of `extra` (the
+                    # column is already materialized) — serve it from
+                    # the typed array instead of silently matching
+                    # nothing (ADVICE r3)
+                    arr = s.warc_ts
                 if arr is None:
                     return np.zeros(0, np.int64), np.zeros(0)
             elif node.field in P.RANGE_FIELDS:

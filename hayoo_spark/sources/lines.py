@@ -24,14 +24,25 @@ DEFAULT_MARKER = r"^@package\b"
 
 def assemble_records(lines: DataFrame, marker_re: str = DEFAULT_MARKER,
                      text: str = "text", order: str = "line_no",
-                     file_col: str | None = None) -> DataFrame:
+                     file_col: str | None = "file") -> DataFrame:
     """(…, line_no, text) -> one row per record: (…, record_id, header,
     body, n_lines).  A record starts at each line matching
     ``marker_re``; lines before the first marker (file preamble /
-    comments) are dropped — the reference parser skips them too."""
-    parts = [file_col] if file_col else []
-    w = Window.partitionBy(*parts).orderBy(order) if parts \
-        else Window.orderBy(order)
+    comments) are dropped — the reference parser skips them too.
+
+    ``file_col`` is REQUIRED: the cumulative-sum window partitions by
+    it, so each file folds inside its own task.  Passing ``None``
+    (a single global record stream) would put the whole corpus through
+    one window task — a scale failure, so it raises instead; callers
+    with a genuinely unpartitioned stream should add a constant column
+    only when they know the input is small."""
+    if not file_col:
+        raise ValueError(
+            "assemble_records needs a partition column (file_col): a "
+            "global Window.orderBy would funnel the entire corpus "
+            "through a single task")
+    parts = [file_col]
+    w = Window.partitionBy(*parts).orderBy(order)
     rec = (lines
            .withColumn("_m", F.col(text).rlike(marker_re).cast("int"))
            .withColumn("record_id", F.sum("_m").over(w))
@@ -47,16 +58,29 @@ def assemble_records(lines: DataFrame, marker_re: str = DEFAULT_MARKER,
                     F.size("ls").alias("n_lines")))
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(file, line_no, text) with an EXPLICIT per-file line offset.
+
+    Reads whole files (``wholetext``) and splits lines with
+    ``posexplode`` in the executor, so ``line_no`` is the true
+    zero-based offset inside its file by construction — no reliance on
+    split-enumeration order (``monotonically_increasing_id`` only
+    tracks byte order if text splits enumerate in byte-offset order,
+    an implementation detail).  Whole-file reads are fine here: the
+    record sources this feeds (hoogle exports, WET segments) ship as
+    many bounded-size files, and parallelism is per-file either way —
+    a marker fold can never split one file across tasks."""
+    df = spark.read.text(path, wholetext=True)
+    # a trailing newline is a line TERMINATOR, not an empty final line
+    body = F.regexp_replace(F.col("value"), "\n$", "")
+    return (df
+            .select(F.input_file_name().alias("file"),
+                    F.posexplode(F.split(body, "\n"))
+                    .alias("line_no", "text")))
+
+
 def read_text_records(spark: SparkSession, path: str,
                       marker_re: str = DEFAULT_MARKER) -> DataFrame:
-    """Read text file(s) and assemble marker-delimited records.
-
-    Line order inside a file is reconstructed from
-    ``monotonically_increasing_id`` — ascending within and across the
-    file's splits in split order, the standard Spark idiom for
-    line-offset order (splits are enumerated in byte-offset order)."""
-    df = (spark.read.text(path)
-          .select(F.input_file_name().alias("file"),
-                  F.monotonically_increasing_id().alias("line_no"),
-                  F.col("value").alias("text")))
-    return assemble_records(df, marker_re, file_col="file")
+    """Read text file(s) and assemble marker-delimited records."""
+    return assemble_records(read_text_lines(spark, path), marker_re,
+                            file_col="file")

@@ -20,27 +20,54 @@ from __future__ import annotations
 
 import fnmatch
 import io
+import logging
 import tarfile
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 #: schema of the entries relation
 ENTRY_SCHEMA = ("archive string, entry string, mtime long, "
                 "size long, payload binary")
 
+#: archives above this are skipped (with a logged count): one archive's
+#: raw bytes + its decompressed members live in a single Python worker,
+#: so an unbounded blob is an executor OOM, not a slow task.  The
+#: reference caps fetched payloads the same way (1.5 MB curl
+#: max_filesize, hayooIndexer/src/HayooIndexer.hs:106-108) — ours is
+#: sized for archive granularity instead of page granularity.
+MAX_ARCHIVE_BYTES = 1 << 30  # 1 GiB
+
 
 def read_tar_entries(spark: SparkSession, path: str,
                      pattern: str | None = None,
-                     binary_glob: str = "*.tar") -> DataFrame:
+                     binary_glob: str = "*.tar",
+                     max_archive_bytes: int = MAX_ARCHIVE_BYTES,
+                     ) -> DataFrame:
     """One row per regular-file member across every archive under
     ``path``.  ``pattern`` (fnmatch, e.g. ``*.cabal``) prunes members
-    inside the executor-side scan, before any bytes are shipped."""
-    raw = (spark.read.format("binaryFile")
+    inside the executor-side scan, before any bytes are shipped.
+
+    Archives larger than ``max_archive_bytes`` are dropped with a
+    logged count (the ``length`` predicate is pushed into the
+    binaryFile scan, so oversized blobs are never read); counting the
+    drops touches file metadata only, not content."""
+    src = (spark.read.format("binaryFile")
            .option("pathGlobFilter", binary_glob)
-           .load(path)
-           .select("path", "content"))
+           .load(path))
+    if max_archive_bytes is not None:
+        dropped = src.filter(F.col("length") > max_archive_bytes).count()
+        if dropped:
+            log.warning(
+                "read_tar_entries(%s): dropping %d archive(s) larger "
+                "than %d bytes (cap ensures one archive fits one "
+                "executor worker)", path, dropped, max_archive_bytes)
+        src = src.filter(F.col("length") <= max_archive_bytes)
+    raw = src.select("path", "content")
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -85,6 +85,46 @@ def test_date_range_rank_identity(date_engine, date_oracle, q, mode):
         assert abs(gs - ws) < 1e-6, (q, gu)
 
 
+WARC_FIELDS = (
+    FieldSpec("text", 1.0, True, "body"),
+    # date context NAMED after the known warc_ts doc column (ADVICE
+    # r3): must serve from the typed column, with ISO-prefix (declared
+    # date) semantics taking precedence over the legacy raw-instant path
+    FieldSpec("warc_ts", weight=0.0, default=False, source="warc_ts",
+              ftype="date"),
+)
+
+WARC_QUERIES = [
+    "warc_ts:[2024-03 TO 2024-05] AND baba",
+    "warc_ts:[2024 TO 2024]",
+]
+
+
+@pytest.fixture(scope="module")
+def warc_engine(spark, date_pages, tmp_path_factory):
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    d = tmp_path_factory.mktemp("warcix")
+    out = d / "pages.parquet"
+    date_pages.to_parquet(out, index=False)
+    ix = str(d / "ix")
+    build_index(spark, str(out), ix, n_segments=4, fields=WARC_FIELDS)
+    return SearchEngine(spark, ix)
+
+
+@pytest.mark.parametrize("q", WARC_QUERIES)
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_warc_ts_named_date_context(warc_engine, date_pages, q, mode):
+    ora = oracle.build_oracle_index(date_pages, from_html=True,
+                                    fields=WARC_FIELDS)
+    got = warc_engine.search(q, k=25, mode=mode)
+    want = oracle.search(ora, q, k=25)
+    assert got, q  # the fixture has 2024 timestamps: must match docs
+    assert [u for u, _ in got] == [u for u, _ in want], (
+        f"{q!r} [{mode}]\n got={got[:5]}\nwant={want[:5]}")
+
+
 def test_prefix_truncation_widens_range(date_engine, date_oracle):
     """[2024-02 TO 2024-02] must cover the whole month — strictly more
     docs than the raw-instant interpretation [2024-02-01, 2024-02-01)."""

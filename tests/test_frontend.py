@@ -5,41 +5,41 @@ import pytest
 
 from hayoo_spark import oracle
 from hayoo_spark.query import plan as P
-from hayoo_spark.query.parser import (
-    FRONTEND_FALLBACK_BOOST, parse, parse_frontend,
-)
+from hayoo_spark.query.parser import parse, parse_frontend
 
 
-def test_frontend_unions_std_and_fallback():
+def test_frontend_std_branch_only_when_parse_succeeds():
+    # reference defq gating (App.hs:155-164): the AND-of-words default
+    # query appears ONLY when both the sig and std parsers fail, so a
+    # parsable non-signature query IS its std parse
     ast = parse_frontend("baba OR bibaba")
-    assert isinstance(ast, P.Or) and len(ast.children) == 2
-    std, fb = ast.children
-    assert std == parse("baba OR bibaba")
-    assert fb == P.And((P.Term("baba", boost=FRONTEND_FALLBACK_BOOST),
-                        P.Term("bibaba", boost=FRONTEND_FALLBACK_BOOST)))
-
-
-def test_frontend_strips_connectives_in_fallback():
-    ast = parse_frontend("baba AND NOT bibaba")
-    fb = ast.children[1]
-    assert [t.term for t in fb.children] == ["baba", "bibaba"]
+    assert ast == parse("baba OR bibaba")
 
 
 def test_frontend_degrades_on_parse_error():
-    # unbalanced paren: the std branch drops, the word query survives
+    # unbalanced paren: std drops, defq = AND of whitespace words
+    # (quotes stripped, no boost — App.hs:159-163)
     ast = parse_frontend("baba AND (")
-    assert ast == P.And((P.Term("baba", boost=FRONTEND_FALLBACK_BOOST),))
-    assert parse_frontend("(((") == P.And(())
+    assert ast == P.And((P.Term("baba"), P.Term("AND"), P.Term("(")))
+    ast = parse_frontend('"ba ( ba"')
+    # quoted phrase parses as std; defq never fires
+    assert ast == parse('"ba ( ba"')
+    assert parse_frontend("") == P.And(())
+
+
+def test_frontend_defq_strips_quotes():
+    ast = parse_frontend('"baba" AND (')
+    assert ast == P.And((P.Term("baba"), P.Term("AND"), P.Term("(")))
 
 
 QUERIES = [
-    "baba",                     # plain word: std == fallback shape
+    "baba",                     # plain word: std branch only
     "baba bibaba",              # implicit AND
     "baba OR nibaba",
-    "lang:en AND baba",         # fielded std, word fallback adds terms
+    "lang:en AND baba",         # fielded std
     "bib* AND nibaba",
     '"baba baba" OR rasase',
-    "baba AND (",               # parse error -> fallback only
+    "baba AND (",               # parse error -> defq only
 ]
 
 
@@ -54,15 +54,12 @@ def test_frontend_rank_identity(engine, oracle_ix, q, mode):
         assert abs(gs - ws) < 1e-6, (q, gu)
 
 
-def test_frontend_fallback_boost_applied(engine):
-    """A plain word query through the frontend planner scores
-    (1 + FRONTEND_FALLBACK_BOOST)x the std query (union sums both
-    branches — Hunt's union-with-score-sum semantics)."""
+def test_frontend_plain_word_scores_match_std(engine):
+    """With the reference defq gating a parsable plain query goes
+    through the std branch alone — frontend scores equal std scores."""
     std = engine.search("baba", k=5)
     fe = engine.search_frontend("baba", k=5)
-    assert [u for u, _ in std] == [u for u, _ in fe]
-    for (u1, s1), (u2, s2) in zip(std, fe):
-        assert abs(s2 - s1 * (1 + FRONTEND_FALLBACK_BOOST)) < 1e-9
+    assert std == fe
 
 
 def test_autocomplete_scored_parity(engine, oracle_ix):

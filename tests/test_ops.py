@@ -286,3 +286,17 @@ def test_crawl_frontier_bfs_filters_and_min_depth(spark):
                    ("https://a.org/x", 1), ("https://a.org/y", 1),
                    ("https://a.org/z", 2),
                    ("https://a.org/deep", 3)}
+
+
+def test_crawl_frontier_broadcasts_in_plan(spark):
+    """The frontier side of each round's join must be an explicit
+    broadcast (VERDICT r3 #3): a derived relation carries no stats, so
+    without the hint Catalyst may shuffle the whole links table."""
+    from hayoo_spark.ops import crawl
+
+    links = spark.createDataFrame(
+        [("https://a.org/s", "https://a.org/x")], "src string, href string")
+    seeds = spark.createDataFrame([("https://a.org/s",)], "url string")
+    out = crawl.expand_frontier(links, seeds, rounds=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -1,4 +1,7 @@
-"""S10 data shape: Hunt insert-command stream emission."""
+"""S10 data shape: the full Hunt command language — insert, update
+(weight), delete-by-query, insert-context DDL, noop, sequence batches
+(newHayooIndexer/src/JsonUtil.hs:110-121, FctIndexerCore.hs:95-105,
+00-schema.js, hayooIndexer/src/Hayoo/Hunt/IndexSchema.hs:91-149)."""
 
 import glob
 import json
@@ -54,3 +57,115 @@ def test_write_insert_commands_roundtrip(spark, tmp_path):
     assert d["weight"] == 2.5
     assert d["index"]["text"] == "bee cee"
     assert d["description"]["name"] == "Tee"
+
+
+def test_date_context_in_index_map(spark):
+    """ftype=date fields ride the index map as %FT%X ISO strings —
+    the reference's upload/indexed contexts (JsonUtil.hs:91-92
+    fmtDateXmlSchema; 00-schema.js date schemas)."""
+    import pandas as pd
+
+    from hayoo_spark.index.fields import FieldSpec
+    from hayoo_spark.sinks import commands as C
+
+    pdf = pd.DataFrame({
+        "url": ["https://a.org/d1"],
+        "text": ["words here"],
+        "upload_ts": [pd.Timestamp("2014-02-03 04:05:06")],
+    })
+    fields = (FieldSpec("text", 1.0, True, "body"),
+              FieldSpec("upload", 1.0, False, "upload_ts", "date"))
+    doc = C.api_documents(
+        spark.createDataFrame(pdf), fields).collect()[0]
+    assert doc["index"]["upload"] == "2014-02-03T04:05:06"
+    assert doc["index"]["text"] == "words here"
+
+
+def test_update_weight_commands(spark):
+    from hayoo_spark.sinks import commands as C
+
+    df = spark.createDataFrame(
+        [("https://a.org/x", 7.5)], "url string, boost double")
+    got = json.loads(C.update_weight_commands(df).collect()[0]["value"])
+    # exact buildUpdateWeight shape (JsonUtil.hs:115-121)
+    assert got == {"cmd": "update",
+                   "document": {"uri": "https://a.org/x", "weight": 7.5}}
+
+
+def test_delete_by_query_commands(spark):
+    from hayoo_spark.sinks import commands as C
+
+    df = spark.createDataFrame([("acme",)], "name string")
+    got = json.loads(
+        C.delete_by_query_commands(df).collect()[0]["value"])
+    # exact buildDelete shape (FctIndexerCore.hs:95-105 + fullWord)
+    assert got == {
+        "cmd": "delete-by-query",
+        "query": {"type": "context", "contexts": ["package"],
+                  "query": {"op": "case", "type": "fullword",
+                            "word": "acme"}}}
+
+
+def test_schema_ddl_matches_reference_shapes():
+    """insert-context commands must match 00-schema.js key-for-key for
+    schema-equivalent contexts (weight omitted at 1.0, default only
+    when false, date regexp + type)."""
+    from hayoo_spark.index.fields import FieldSpec
+    from hayoo_spark.sinks import commands as C
+
+    name = FieldSpec("name", 3.0, True, "body")
+    upload = FieldSpec("upload", 1.0, False, "upload_ts", "date")
+    author = FieldSpec("author", 1.0, True, "body")
+    got = C.schema_commands((name, upload, author),
+                            regexps={"name": "[^ ]*"})
+    assert got[0] == {"cmd": "insert-context", "context": "name",
+                      "schema": {"regexp": "[^ ]*", "type": "text",
+                                 "weight": 3.0}}
+    assert got[1] == {
+        "cmd": "insert-context", "context": "upload",
+        "schema": {"regexp": "[0-9]{4}(-[0-9]{2}(-[0-9]{2}"
+                             "(T[0-9]{2}:[0-9]{2}:[0-9]{2})?)?)?",
+                   "type": "date", "default": False}}
+    assert got[2] == {"cmd": "insert-context", "context": "author",
+                      "schema": {"regexp": r"\w*", "type": "text"}}
+    assert C.drop_schema_commands((name,)) == [
+        {"cmd": "delete-context", "context": "name"}]
+    assert C.noop_cmd() == {"cmd": "noop"}
+
+
+def test_write_command_stream_phases_and_batches(spark, tmp_path):
+    """Phase-ordered replay layout + cmdSequence array batching."""
+    from pyspark.sql import functions as F
+
+    from hayoo_spark.sinks import commands as C
+
+    pages = _pages(spark, [
+        ("https://a.org/p%d" % i,
+         ("<html><body>doc %d words</body></html>" % i).encode())
+        for i in range(5)
+    ])
+    deletes = spark.createDataFrame([("oldpkg",)], "name string")
+    weights = spark.createDataFrame(
+        [("https://a.org/p1", 2.0)], "url string, boost double")
+    out = str(tmp_path / "stream")
+    C.write_command_stream(out, pages, deletes=deletes, weights=weights,
+                           batch=2)
+    subs = sorted(p.rsplit("/", 1)[-1] for p in glob.glob(out + "/*"))
+    assert subs == ["00-schema.json", "01-delete", "02-insert",
+                    "03-update"]
+    with open(out + "/00-schema.json") as fh:
+        ddl = json.load(fh)
+    assert [c["cmd"] for c in ddl] == ["insert-context"]
+    batches = []
+    for p in glob.glob(out + "/02-insert/part-*"):
+        with open(p) as fh:
+            batches += [json.loads(ln) for ln in fh if ln.strip()]
+    # every line is a JSON ARRAY (a cmdSequence) of <= 2 commands
+    assert all(isinstance(b, list) and 1 <= len(b) <= 2 for b in batches)
+    docs = [c["document"]["uri"] for b in batches for c in b]
+    assert sorted(docs) == ["https://a.org/p%d" % i for i in range(5)]
+    dels = []
+    for p in glob.glob(out + "/01-delete/part-*"):
+        with open(p) as fh:
+            dels += [json.loads(ln) for ln in fh if ln.strip()]
+    assert dels[0][0]["cmd"] == "delete-by-query"

@@ -47,6 +47,26 @@ def test_tar_entries_pattern_prunes_members(spark, tmp_path):
     assert ents == ["x/x.cabal", "y/y.cabal"]
 
 
+def test_tar_entries_size_cap_drops_oversized(spark, tmp_path, caplog):
+    """An archive above the cap is dropped (with a logged count), not
+    shipped to a worker — the executor-OOM guard."""
+    import logging
+
+    from hayoo_spark.sources import tarball
+
+    # tarfile pads archives to 10240-byte blocks: small.tar is 10 KiB,
+    # big.tar is forced past a 16 KiB cap
+    _write_tar(tmp_path / "small.tar", [("a/a.cabal", b"n: a\n")])
+    _write_tar(tmp_path / "big.tar",
+               [("b/blob.bin", b"x" * 32768)])
+    with caplog.at_level(logging.WARNING,
+                         logger="hayoo_spark.sources.tarball"):
+        ents = sorted(r["entry"] for r in tarball.read_tar_entries(
+            spark, str(tmp_path), max_archive_bytes=16384).collect())
+    assert ents == ["a/a.cabal"]
+    assert any("dropping 1 archive" in m for m in caplog.messages)
+
+
 def test_tar_pages_feed_index_build(spark, tmp_path):
     """End-to-end S2→A4→Q2: archived HTML through the pages adapter
     into a built index, then a term query finds the right doc."""
