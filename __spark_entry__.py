@@ -384,6 +384,46 @@ def s_line_records(spark, sf_dir):
                     F.col("n_lines").cast("int").alias("n_lines")))
 
 
+def s_hoogle_decls(spark, sf_dir):
+    """T11 full: hoogle declaration grammar + stateful fold
+    (sources/hoogle.py; reference ParseHoogle.hs:16-209 +
+    ProcessLine.hs:17-92).  A deterministic synthetic export stream is
+    built from the customer keys — every line kind (package / module /
+    comment / function / data / type / newtype / instance / multi-decl
+    / blank) appears on a fixed k%10 schedule, so the fold's state
+    (current package, module, uri prefix, pending comments) is pure
+    arithmetic the DuckDB twin reproduces directly."""
+    from hayoo_spark.sources import hoogle as Hg
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    d = F.floor(k / 10).cast("long").cast("string")
+    ks = k.cast("string")
+    text = (
+        F.when(k % 10 == 0, F.concat(F.lit("@package pkg"), d))
+        .when(k % 10 == 1, F.concat(F.lit("module Mod"), d, F.lit(".Sub")))
+        .when(k % 10 == 2, F.concat(F.lit("-- | doc line "), ks))
+        .when(k % 10 == 3, F.concat(F.lit("fn"), ks, F.lit(" :: Alpha"),
+                                    (k % 7).cast("string"),
+                                    F.lit(" -> Beta"),
+                                    (k % 5).cast("string")))
+        .when(k % 10 == 4, F.concat(F.lit("data Dat"), ks))
+        .when(k % 10 == 5, F.concat(F.lit("type Syn"), ks,
+                                    F.lit(" = Alpha"),
+                                    (k % 7).cast("string")))
+        .when(k % 10 == 6, F.concat(F.lit("newtype New"), ks, F.lit(" a")))
+        .when(k % 10 == 7, F.concat(F.lit("instance Eq Dat"), ks))
+        .when(k % 10 == 8, F.concat(F.lit("va"), ks, F.lit(", vb"), ks,
+                                    F.lit(" :: Gamma"),
+                                    (k % 3).cast("string")))
+        .otherwise(F.lit("")))
+    lines = cust.select(F.lit("0").alias("file"), k.alias("line_no"),
+                        text.alias("text"))
+    return (Hg.parse_hoogle_decls(lines)
+            .select(F.col("line_no").cast("long").alias("line_no"),
+                    "package", "module", "name", "fct_type",
+                    "signature", "description", "doc_uri"))
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -663,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_stats": mm_payload_stats,
         "s_insert_commands": s_insert_commands,
         "s_command_stream": s_command_stream,
+        "s_hoogle_decls": s_hoogle_decls,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -984,6 +1025,48 @@ WITH toks AS (
 SELECT 'https://doc/' || doc_id::VARCHAR AS uri,
        array_to_string(ts, ' ') AS index_text
 FROM toks WHERE len(ts) > 0"""
+    sql["s_hoogle_decls"] = """
+WITH pre AS (
+  SELECT c_custkey::BIGINT AS k,
+         'pkg' || (c_custkey // 10)::VARCHAR AS pkg,
+         'Mod' || (c_custkey // 10)::VARCHAR || '.Sub' AS mod,
+         'http://hackage.haskell.org/package/pkg'
+           || (c_custkey // 10)::VARCHAR || '/docs/Mod'
+           || (c_custkey // 10)::VARCHAR || '-Sub.html' AS pfx
+  FROM customer)
+SELECT k AS line_no, pkg AS package, mod AS module, mod AS name,
+       'module' AS fct_type, '' AS signature, '' AS description,
+       pfx || '#' AS doc_uri
+FROM pre WHERE k % 10 = 1
+UNION ALL
+SELECT k, pkg, mod, 'fn' || k::VARCHAR, 'function',
+       'Alpha' || (k % 7)::VARCHAR || ' -> Beta' || (k % 5)::VARCHAR,
+       'doc line ' || (k - 1)::VARCHAR || chr(10),
+       pfx || '#v:fn' || k::VARCHAR
+FROM pre WHERE k % 10 = 3
+UNION ALL
+SELECT k, pkg, mod, 'Dat' || k::VARCHAR, 'data', '', '',
+       pfx || '#t:Dat' || k::VARCHAR
+FROM pre WHERE k % 10 = 4
+UNION ALL
+SELECT k, pkg, mod, 'Syn' || k::VARCHAR, 'type',
+       'Alpha' || (k % 7)::VARCHAR, '',
+       pfx || '#t:Syn' || k::VARCHAR
+FROM pre WHERE k % 10 = 5
+UNION ALL
+SELECT k, pkg, mod, 'New' || k::VARCHAR, 'newtype', '', '',
+       pfx || '#t:New' || k::VARCHAR
+FROM pre WHERE k % 10 = 6
+UNION ALL
+SELECT k, pkg, mod, 'va' || k::VARCHAR, 'function',
+       'Gamma' || (k % 3)::VARCHAR, '',
+       pfx || '#v:va' || k::VARCHAR
+FROM pre WHERE k % 10 = 8
+UNION ALL
+SELECT k, pkg, mod, 'vb' || k::VARCHAR, 'function',
+       'Gamma' || (k % 3)::VARCHAR, '',
+       pfx || '#v:vb' || k::VARCHAR
+FROM pre WHERE k % 10 = 8"""
     sql["s_command_stream"] = f"""
 WITH toks AS (
   SELECT doc_id,

@@ -166,7 +166,15 @@ def extract_text(df: DataFrame, html_col: str = "html",
     stays inside whole-stage codegen, no Arrow round-trip.  The pandas
     UDF path (jvm=False) is the seam where a real HTML parser
     (selectolax/lxml) would plug in for full web pages; both are
-    byte-identical to the oracle extractor on the fixture corpus."""
+    byte-identical to the oracle extractor on the fixture corpus.
+
+    A corpus with no html column but a ``text`` column (hoogle decls,
+    WET extracts, the documents table) is already extracted — pass
+    it through (the oracle's from_html=False twin)."""
+    if html_col not in df.columns:
+        if "text" in df.columns:
+            return df.withColumn("text_x", F.col("text"))
+        raise ValueError("pages need an 'html' or 'text' column")
     if jvm:
         return df.withColumn("text_x", extract_text_col(F.col(html_col)))
 

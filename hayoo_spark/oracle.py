@@ -283,6 +283,54 @@ def autocomplete(ix: OracleIndex, prefix: str,
     return cands[:n]
 
 
+def autocomplete_fields(ix: OracleIndex, prefix: str, n: int,
+                        fields: tuple[str, ...]) -> list[tuple[str, float]]:
+    """autocomplete over an explicit field set (twin of
+    SearchEngine.autocomplete(fields=...))."""
+    acc: dict[str, float] = {}
+    for (f, t), ps in ix.postings.items():
+        if f in fields and t.startswith(prefix):
+            acc[t] = acc.get(t, 0.0) + ix.weights.get(f, 1.0) * len(ps)
+    cands = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return cands[:n]
+
+
+def autocomplete_queries(ix: OracleIndex, q: str, n: int = 20) -> list[str]:
+    """Oracle twin of SearchEngine.autocomplete_queries — the
+    reference's full-query completion (Common.hs:402-415)."""
+    from . import signature as SIG
+    from .query import parser as P_
+
+    if SIG.is_signature_query(q):
+        try:
+            sig = SIG.parse_norm(q.strip().strip('"'))
+        except ValueError:
+            return []
+        pref = SIG.pretty_signature(sig)
+        return [t for t, _ in
+                autocomplete_fields(ix, pref, n, ("signature",))]
+    try:
+        ast = P_.parse(q)
+    except P_.QueryParseError:
+        words = q.split()
+        if not words:
+            return []
+        return [t for t, _ in
+                autocomplete(ix, words[-1].strip('"').lower(), n)]
+    leaf = P_.last_word_leaf(ast)
+    if leaf is None:
+        return []
+    word = getattr(leaf, "term", None) or getattr(leaf, "prefix", "")
+    if leaf.field != P.DEFAULT_FIELD:
+        if leaf.field not in ix.weights:
+            return []
+        comps = [t for t, _ in
+                 autocomplete_fields(ix, word, n, (leaf.field,))]
+    else:
+        comps = [t for t, _ in autocomplete(ix, word, n)]
+    return P_.complete_queries(ast, comps)
+
+
 def search_frontend(ix: OracleIndex, query: str, k: int = P.PAGE_SIZE,
                     page: int = 0) -> list[tuple[str, float]]:
     """Oracle twin of SearchEngine.search_frontend (Q9 planner)."""

@@ -698,16 +698,19 @@ class SearchEngine:
 
     # ---------------- autocomplete ----------------
 
-    def autocomplete(self, prefix: str,
-                     n: int = 20) -> list[tuple[str, float]]:
-        """SCORED completion over the default fields' term dictionaries
-        (reference completions carry scores, hayoo-server/src/Hayoo/
-        App.hs:101-111): score(term) = Σ over default fields of
-        field_weight × df — the same weight folding the scorer applies,
-        so completions rank like the results they lead to."""
+    def autocomplete(self, prefix: str, n: int = 20,
+                     fields: tuple[str, ...] | None = None,
+                     ) -> list[tuple[str, float]]:
+        """SCORED completion over the given fields' term dictionaries
+        (default: the default search fields; reference completions
+        carry scores, hayoo-server/src/Hayoo/App.hs:101-111):
+        score(term) = Σ over fields of field_weight × df — the same
+        weight folding the scorer applies, so completions rank like
+        the results they lead to."""
+        search_fields = fields or self.default_fields
         if self._dict is not None:
             acc: dict[str, float] = {}
-            for f in self.default_fields:
+            for f in search_fields:
                 d = self._dict.get(f)
                 if d is None:
                     continue
@@ -720,11 +723,11 @@ class SearchEngine:
             cands = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
             return cands[:n]
         wmap = F.create_map(*[
-            F.lit(x) for f in self.default_fields
+            F.lit(x) for f in search_fields
             for x in (f, float(self.field_weights.get(f, 1.0)))])
         rows = (
             self._terms_df
-            .filter(F.col("field").isin(list(self.default_fields))
+            .filter(F.col("field").isin(list(search_fields))
                     & F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum(wmap[F.col("field")] * F.col("df")).alias("score"))
@@ -733,3 +736,44 @@ class SearchEngine:
             .collect()
         )
         return [(r["term"], float(r["score"])) for r in rows]
+
+    def autocomplete_queries(self, q: str, n: int = 20) -> list[str]:
+        """FULL-QUERY completion — the reference autocomplete pipeline
+        (hayooFrontend/src/Hayoo/Common.hs:402-415): a signature query
+        returns its raw signature-context completions; otherwise the
+        LAST word of the parsed query is completed against the term
+        dictionary and each completion re-prints the WHOLE query
+        (``H.printQuery <$> H.completeQueries q comps``)."""
+        from .. import signature as SIG
+        from . import parser as P_
+
+        if SIG.is_signature_query(q):
+            # handleSignatureQuery translates to a prefix query on the
+            # signature context; completions come back raw
+            try:
+                sig = SIG.parse_norm(q.strip().strip('"'))
+            except ValueError:
+                return []
+            pref = SIG.pretty_signature(sig)
+            return [t for t, _ in
+                    self.autocomplete(pref, n, fields=("signature",))]
+        try:
+            ast = P_.parse(q)
+        except P_.QueryParseError:
+            # unparsable input: degrade to completing the raw last word
+            words = q.split()
+            if not words:
+                return []
+            return [t for t, _ in self.autocomplete(
+                words[-1].strip('"').lower(), n)]
+        leaf = P_.last_word_leaf(ast)
+        if leaf is None:
+            return []
+        word = getattr(leaf, "term", None) or getattr(leaf, "prefix", "")
+        fields = None
+        if leaf.field != P.DEFAULT_FIELD:
+            if leaf.field not in self.field_weights:
+                return []  # filter-only context: no term dictionary
+            fields = (leaf.field,)
+        comps = [t for t, _ in self.autocomplete(word, n, fields=fields)]
+        return P_.complete_queries(ast, comps)

@@ -231,6 +231,122 @@ def _parse_atom(toks: list[str]):
     return _maybe_boost(_word(t, DEFAULT_FIELD), rest)
 
 
+# --------------------------------------------------- printing / completion
+
+def _fmt_boost(b: float) -> str:
+    # the lexer accepts only [0-9.] after ^ — render boosts in plain
+    # decimal so print->parse round-trips
+    s = f"{b:g}"
+    if "e" in s or "-" in s:
+        s = f"{b:.10f}".rstrip("0").rstrip(".")
+    return "^" + s
+
+
+def _print_leaf(word: str, marker: str, field: str, boost: float) -> str:
+    from .plan import CS_FIELD
+    if field == CS_FIELD:
+        s = "!" + word + marker
+    elif field == DEFAULT_FIELD:
+        s = word + marker
+    else:
+        s = f"{field}:{word}{marker}"
+    return s + (_fmt_boost(boost) if boost != 1.0 else "")
+
+
+def print_query(node: Node) -> str:
+    """Render an AST back to surface syntax (the reference's
+    ``printQuery``, used by full-query completion —
+    hayooFrontend/src/Hayoo/Common.hs:402-415).  The output re-parses
+    to the same AST (round-trip property tested)."""
+    if isinstance(node, Term):
+        return _print_leaf(node.term, "", node.field, node.boost)
+    if isinstance(node, Prefix):
+        return _print_leaf(node.prefix, "*", node.field, node.boost)
+    if isinstance(node, Fuzzy):
+        return _print_leaf(node.term, "~", node.field, node.boost)
+    if isinstance(node, Phrase):
+        s = '"' + " ".join(node.terms) + '"'
+        if node.field != DEFAULT_FIELD:
+            s = f"{node.field}:{s}"  # (not parseable scoped; phrases
+            # are default-field in the surface syntax, like the parser)
+        return s + (_fmt_boost(node.boost) if node.boost != 1.0 else "")
+    if isinstance(node, RangeFilter):
+        return f"{node.field}:[{node.lo} TO {node.hi}]"
+    if isinstance(node, And):
+        return " AND ".join(_print_child(c) for c in node.children)
+    if isinstance(node, Or):
+        return " OR ".join(
+            f"({print_query(c)})" if isinstance(c, Or)
+            else print_query(c) for c in node.children)
+    if isinstance(node, AndNot):
+        return (f"{_print_child(node.left)} AND NOT "
+                f"{_print_child(node.right)}")
+    raise TypeError(f"unprintable node {node!r}")
+
+
+def _print_child(c: Node) -> str:
+    # Or / AndNot bind looser than AND: parenthesize them inside AND
+    if isinstance(c, (Or, AndNot)):
+        return f"({print_query(c)})"
+    return print_query(c)
+
+
+def last_word_leaf(node: Node) -> Node | None:
+    """The RIGHTMOST completable word leaf (Term/Prefix/Fuzzy) in query
+    order — the word Hunt's completion targets."""
+    if isinstance(node, (Term, Prefix, Fuzzy)):
+        return node
+    if isinstance(node, (And, Or)):
+        for c in reversed(node.children):
+            leaf = last_word_leaf(c)
+            if leaf is not None:
+                return leaf
+        return None
+    if isinstance(node, AndNot):
+        return last_word_leaf(node.right) or last_word_leaf(node.left)
+    return None
+
+
+def _replace_last(node: Node, repl: Node):
+    """-> (new_node, replaced?) — substitute the rightmost word leaf."""
+    if isinstance(node, (Term, Prefix, Fuzzy)):
+        return repl, True
+    if isinstance(node, (And, Or)):
+        kids = list(node.children)
+        for i in range(len(kids) - 1, -1, -1):
+            new, ok = _replace_last(kids[i], repl)
+            if ok:
+                kids[i] = new
+                return type(node)(tuple(kids)), True
+        return node, False
+    if isinstance(node, AndNot):
+        new, ok = _replace_last(node.right, repl)
+        if ok:
+            return AndNot(node.left, new), True
+        new, ok = _replace_last(node.left, repl)
+        if ok:
+            return AndNot(new, node.right), True
+        return node, False
+    return node, False
+
+
+def complete_queries(node: Node, completions: list[str]) -> list[str]:
+    """The reference's ``completeQueries`` + ``printQuery`` pipeline
+    (Common.hs:402-415 `H.printQuery <$> H.completeQueries q comps`):
+    substitute each completion for the query's LAST word (the completed
+    word becomes an exact term — the prefix/fuzzy marker is consumed)
+    and re-render the WHOLE query string."""
+    leaf = last_word_leaf(node)
+    if leaf is None:
+        return []
+    out = []
+    for comp in completions:
+        new, _ = _replace_last(
+            node, Term(comp, field=leaf.field, boost=leaf.boost))
+        out.append(print_query(new))
+    return out
+
+
 def _word(w: str, field: str) -> Node:
     w = w.lower()
     if w.endswith("*") and len(w) > 1:

@@ -67,3 +67,77 @@ def test_autocomplete_scored_parity(engine, oracle_ix):
         got = engine.autocomplete(prefix, n=10)
         want = oracle.autocomplete(oracle_ix, prefix, n=10)
         assert got == want, prefix
+
+
+PRINT_ROUNDTRIP = [
+    "baba",
+    "baba AND bibaba",
+    "baba OR bibaba OR nibaba",
+    "baba AND NOT nibaba",
+    "(baba OR bibaba) AND nibaba",
+    "bib* AND nibaba",
+    "baba~",
+    '"baba baba" OR rasase',
+    "lang:en AND baba",
+    "title:walrus",
+    "!Foo AND baba",
+    "baba^2.5",
+    "(baba OR bibaba)^0.5",
+    "warc_ts:[2024-01-01 TO 2024-07-01] AND baba",
+]
+
+
+@pytest.mark.parametrize("q", PRINT_ROUNDTRIP)
+def test_print_query_roundtrip(q):
+    """printQuery output re-parses to the identical AST."""
+    from hayoo_spark.query.parser import print_query
+
+    ast = parse(q)
+    assert parse(print_query(ast)) == ast, print_query(ast)
+
+
+def test_complete_queries_substitutes_last_word():
+    """completeQueries semantics (Common.hs:402-415): the LAST word is
+    replaced by each completion and the WHOLE query re-printed."""
+    from hayoo_spark.query.parser import complete_queries
+
+    ast = parse("baba AND bib")
+    assert complete_queries(ast, ["bibaba", "bibi"]) == [
+        "baba AND bibaba", "baba AND bibi"]
+    # prefix marker consumed by the completion
+    ast = parse("baba OR bib*")
+    assert complete_queries(ast, ["bibaba"]) == ["baba OR bibaba"]
+    # scoped last word keeps its context; boost survives
+    ast = parse("baba AND title:wal^2")
+    assert complete_queries(ast, ["walrus"]) == [
+        "baba AND title:walrus^2"]
+    # last word inside AND NOT's right side
+    ast = parse("baba AND NOT bib")
+    assert complete_queries(ast, ["bibaba"]) == ["baba AND NOT bibaba"]
+
+
+COMPLETE_QUERIES = [
+    "bi",                      # single word
+    "baba AND bi",             # last word of an AND
+    "baba OR bi*",             # prefix-marked last word
+    "baba AND NOT bi",         # completion in the negated branch
+    "nosuchprefix_zz",         # no completions
+    "baba AND (",              # parse error -> raw last-word fallback
+    "",                        # empty
+    "a -> b",                  # signature query, no signature context
+]
+
+
+@pytest.mark.parametrize("q", COMPLETE_QUERIES)
+def test_autocomplete_queries_parity(engine, oracle_ix, q):
+    got = engine.autocomplete_queries(q, n=10)
+    want = oracle.autocomplete_queries(oracle_ix, q, n=10)
+    assert got == want, q
+
+
+def test_autocomplete_queries_shapes(engine):
+    out = engine.autocomplete_queries("baba AND bi", n=5)
+    assert out and all(o.startswith("baba AND bi") for o in out)
+    # every completion is itself a parsable query
+    for o in out:
+        parse(o)
