@@ -62,27 +62,42 @@ def _materialize_corpus(n_docs: int, n_files: int = 32,
     scaling measurements must read from RAM."""
     from hayoo_spark import fixtures
 
+    import glob
+    import shutil
+
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     path = os.path.join(root, f"pages_{n_docs}")
     out = os.path.join(path, "pages")
-    if not os.path.exists(out):
-        os.makedirs(out, exist_ok=True)
+    # content check + atomic rename: a killed materialization must not
+    # leave an empty/partial dir that later runs mistake for a corpus
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        shutil.rmtree(out, ignore_errors=True)
+        tmp_out = out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        os.makedirs(tmp_out, exist_ok=True)
         pdf = fixtures.make_pages(n_docs)
         step = (len(pdf) + n_files - 1) // n_files
         for i in range(n_files):
             chunk = pdf.iloc[i * step : (i + 1) * step]
             if len(chunk):
-                chunk.to_parquet(os.path.join(out, f"part-{i:04d}.parquet"),
-                                 index=False, row_group_size=4096)
+                chunk.to_parquet(
+                    os.path.join(tmp_out, f"part-{i:04d}.parquet"),
+                    index=False, row_group_size=4096)
+        os.rename(tmp_out, out)
     if shm and SHM_ROOT:
-        import glob
-        import shutil
         shm_out = os.path.join(SHM_ROOT, f"pages_{n_docs}")
-        # re-stage unless the copy already holds the parquet files
-        if not glob.glob(os.path.join(shm_out, "*.parquet")):
+        # re-stage unless the copy holds the full file set; copy to a
+        # tmp name + rename so an interrupted copy can't masquerade as
+        # a staged corpus
+        want = sorted(os.path.basename(p)
+                      for p in glob.glob(os.path.join(out, "*.parquet")))
+        have = sorted(os.path.basename(p)
+                      for p in glob.glob(os.path.join(shm_out, "*.parquet")))
+        if want != have:
             shutil.rmtree(shm_out, ignore_errors=True)
             os.makedirs(SHM_ROOT, exist_ok=True)
-            shutil.copytree(out, shm_out)
+            shutil.copytree(out, shm_out + ".tmp")
+            os.rename(shm_out + ".tmp", shm_out)
         return shm_out
     return out
 
@@ -207,6 +222,16 @@ def main():
             t0 = time.monotonic()
             eng.search(q, k=20, mode="spark")
             dist.append(time.monotonic() - t0)
+        # …and with the postings relation persisted in executor memory
+        # (warm(distributed=True) — the cluster analogue of Hunt's
+        # index-in-RAM startup)
+        eng.warm(distributed=True)
+        dist_mem = []
+        for q in ENGINE_QUERIES:
+            eng.search(q, k=20, mode="spark")
+            t0 = time.monotonic()
+            eng.search(q, k=20, mode="spark")
+            dist_mem.append(time.monotonic() - t0)
 
         def pctl(xs, p):
             xs = sorted(xs)
@@ -230,6 +255,8 @@ def main():
             "query_cold_p99_ms": pctl(cold, 0.99),
             "query_spark_p50_ms": pctl(dist, 0.5),
             "query_spark_p99_ms": pctl(dist, 0.99),
+            "query_spark_mem_p50_ms": pctl(dist_mem, 0.5),
+            "query_spark_mem_p99_ms": pctl(dist_mem, 0.99),
             "qps_8thread_warm": qps,
         }
         queries["engine_queries"] = round(sum(cold), 3)

@@ -64,8 +64,11 @@ def split_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     src = pdf.loc[out.index]
     plain_r = plain.loc[out.index].to_numpy()
 
+    # fillna BEFORE .str ops: a batch where nothing matches leaves the
+    # extract as float-NaN, and pandas .str refuses non-string dtypes
     anchor = out["_part"].str.extract(_ANCHOR_RE, expand=False)
     head_txt = (out["_part"].str.extract(_HEADING_TXT_RE, expand=False)
+                .fillna("")
                 .str.replace(r"<[^>]*>", " ", regex=True)
                 .str.split().str.join(" "))
     is_sec = (out["_sec"] > 0) & ~plain_r
@@ -104,3 +107,109 @@ def split_virtual_docs(pages):
                 yield split_pages_pdf(pdf)
 
     return pages.mapInPandas(gen, pages.schema)
+
+
+# ------------------------------------------------- Haddock decl dialect
+
+#: split just before each declaration item (`<div class="top">` inside
+#: the interface div — Haddock.hs:215-217 getDecls)
+_TOP_SPLIT_RE = re.compile(r'(?i)(?=<div\s+class="top")')
+_NAME_ANCHOR_RE = re.compile(r'(?i)<a[^>]*\bname="([^"]+)"')
+_ID_ANCHOR_RE = re.compile(r'(?i)<(?:a|div|p)[^>]*\bid="([^"]+)"')
+_DEF_RE = re.compile(r'(?is)<a[^>]*class="def"[^>]*>(.*?)</a>')
+_SRC_RE = re.compile(r'(?is)<p[^>]*class="src"[^>]*>(.*?)</p>')
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def split_decl_docs_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Declaration-item splitter — the Haddock dialect proper
+    (hayooIndexer/src/Hayoo/Haddock.hs:156-260 mkVirtualDoc28): cut the
+    page at ``<div class="top">`` declaration items; each item becomes
+    a virtual doc with
+
+    - url = page url + ``#<anchor>`` (the decl's ``<a name=…>`` /
+      ``id=…`` anchor, Haddock's ``#v:``/``#t:`` style),
+    - title = the decl name (first ``<a class="def">`` text),
+    - ``signature`` = the ``<p class="src">`` type after ``::``
+      (the rawsig attribute feeding the signature contexts),
+
+    and section 0 (module header + description) keeps the page url and
+    page title with an empty signature.  A page with no declaration
+    items passes through with an empty signature column.  Output =
+    input schema + ``signature``."""
+    if not len(pdf):
+        out = pdf.copy()
+        out["signature"] = pd.Series([], dtype=object)
+        return out
+    pdf = pdf.reset_index(drop=True)
+    html = pdf["html"].map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray)) else b)
+    body = html.str.extract(_BODY_RE, expand=False)
+    title = html.str.extract(_TITLE_RE, expand=False).fillna("")
+    parts = body.str.split(_TOP_SPLIT_RE)
+    plain = body.isna() | (parts.str.len() <= 1)
+
+    out = pd.DataFrame({
+        "_part": parts.where(~plain, html.map(lambda h: [h])),
+        "_title": title,
+    }, index=pdf.index).explode("_part")
+    out["_sec"] = out.groupby(level=0).cumcount()
+    src = pdf.loc[out.index]
+    plain_r = plain.loc[out.index].to_numpy()
+    is_sec = (out["_sec"] > 0) & ~plain_r
+
+    anchor = out["_part"].str.extract(_NAME_ANCHOR_RE, expand=False) \
+        .fillna(out["_part"].str.extract(_ID_ANCHOR_RE, expand=False))
+    import html as _html
+    unesc = lambda s: _html.unescape(s) if isinstance(s, str) else s  # noqa: E731
+    # fillna BEFORE .str ops: a no-match batch leaves float-NaN extracts
+    def_name = (out["_part"].str.extract(_DEF_RE, expand=False)
+                .fillna("")
+                .str.replace(_TAG_RE, " ", regex=True)
+                .str.split().str.join(" ").map(unesc))
+    src_txt = (out["_part"].str.extract(_SRC_RE, expand=False)
+               .fillna("")
+               .str.replace(_TAG_RE, " ", regex=True)
+               .str.split().str.join(" ").map(unesc))
+    sig = src_txt.str.partition("::")[2].str.strip()
+
+    vtitle = def_name.where(is_sec, out["_title"]).fillna("")
+    new_html = ("<html><head><title>" + vtitle
+                + "</title></head><body>" + out["_part"]
+                + "</body></html>")
+    new_url = src["url"].where(
+        ~is_sec, src["url"] + "#" + anchor.fillna(""))
+
+    res = src.copy()
+    res["url"] = new_url.to_numpy(object)
+    res["html"] = [
+        (h if isinstance(h, (bytes, bytearray)) else str(h).encode("utf-8"))
+        if pl else n.encode("utf-8")
+        for pl, h, n in zip(plain_r, src["html"], new_html)]
+    if "text" in res.columns:
+        from .analysis import extract_text_series
+        new_text = extract_text_series(
+            pd.Series(new_html.to_numpy(object)))
+        res["text"] = [
+            t if pl else nt
+            for pl, t, nt in zip(plain_r, src["text"], new_text)]
+    res["signature"] = sig.where(is_sec, "").fillna("").to_numpy(object)
+    return res.reset_index(drop=True)
+
+
+def split_decl_virtual_docs(pages):
+    """Spark wrapper for the Haddock declaration dialect: output schema
+    is the input schema plus a ``signature`` string column, ready for
+    SIGNATURE_FIELDS indexing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(list(pages.schema.fields)
+                        + [StructField("signature", StringType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield split_decl_docs_pdf(pdf)
+
+    return pages.mapInPandas(gen, schema)

@@ -87,6 +87,80 @@ def test_split_returns_declaration_level_hits(sect_engine):
     assert got and got[0][0] == "https://sect.org/page/000000#sec0"
 
 
+HADDOCK_PAGE = (
+    "<html><head><title>Acme.Data.List</title></head><body>"
+    '<div id="module-header"><p class="caption">Acme.Data.List</p></div>'
+    '<div id="description"><div class="doc">module docs baba</div></div>'
+    '<div id="interface">'
+    '<div class="top"><p class="src">'
+    '<a name="v:mapx" class="def">mapx</a>'
+    ' :: (a -&gt; b) -&gt; [a] -&gt; [b]</p>'
+    '<div class="doc">apply a function walrus</div></div>'
+    '<div class="top"><p class="src">'
+    '<a name="t:Scenario" class="def">Scenario</a></p>'
+    '<div class="doc">a data type otter</div></div>'
+    "</div></body></html>"
+)
+
+
+def _haddock_pages():
+    plain = ("<html><head><title>plain</title></head>"
+             "<body>no decls badger here</body></html>")
+    return pd.DataFrame({
+        "url": ["https://hackage.test/docs/Acme-Data-List.html",
+                "https://hackage.test/plain.html"],
+        "html": [HADDOCK_PAGE.encode(), plain.encode()],
+    })
+
+
+def test_haddock_decl_split_semantics():
+    """The declaration-item dialect (Haddock.hs:156-260): one virtual
+    doc per <div class="top">, #anchor urls, def-name titles, rawsig
+    signature column; decl-less pages pass through."""
+    from hayoo_spark.split import split_decl_docs_pdf
+
+    out = split_decl_docs_pdf(_haddock_pages())
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    assert set(by_url) == {
+        "https://hackage.test/docs/Acme-Data-List.html",
+        "https://hackage.test/docs/Acme-Data-List.html#v:mapx",
+        "https://hackage.test/docs/Acme-Data-List.html#t:Scenario",
+        "https://hackage.test/plain.html",
+    }
+    fn = by_url["https://hackage.test/docs/Acme-Data-List.html#v:mapx"]
+    assert fn["signature"] == "(a -> b) -> [a] -> [b]"
+    assert b"<title>mapx</title>" in fn["html"]
+    assert b"walrus" in fn["html"] and b"otter" not in fn["html"]
+    ty = by_url["https://hackage.test/docs/Acme-Data-List.html#t:Scenario"]
+    assert ty["signature"] == ""  # no :: in a bare data decl
+    # module section keeps the page url/title, empty signature
+    mod = by_url["https://hackage.test/docs/Acme-Data-List.html"]
+    assert mod["signature"] == "" and b"module docs" in mod["html"]
+    assert by_url["https://hackage.test/plain.html"]["html"] == \
+        _haddock_pages()["html"][1]
+
+
+def test_haddock_decl_split_to_signature_search(spark, tmp_path):
+    """Haddock page -> decl virtual docs -> SIGNATURE_FIELDS index ->
+    a signature query finds the declaration (the reference's gen-1
+    pipeline: Haddock.hs split feeding the rawsig context)."""
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.index.fields import SIGNATURE_FIELDS
+    from hayoo_spark.query.engine import SearchEngine
+    from hayoo_spark.split import split_decl_virtual_docs
+
+    pages = spark.createDataFrame(_haddock_pages())
+    out = split_decl_virtual_docs(pages)
+    assert out.schema.fieldNames() == ["url", "html", "signature"]
+    src = str(tmp_path / "pages.parquet")
+    out.write.parquet(src)
+    ix = str(tmp_path / "ix")
+    build_index(spark, src, ix, n_segments=2, fields=SIGNATURE_FIELDS)
+    eng = SearchEngine(spark, ix)
+    hits = eng.search_frontend("(a -> b) -> [a] -> [b]", k=5)
+    assert hits and hits[0][0].endswith("#v:mapx")
+
+
 def test_split_persisted_for_resume(spark, sect_pages, tmp_path_factory):
     """split_sections is part of the frozen schema: a resumed build
     re-applies it without the caller restating the flag."""

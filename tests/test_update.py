@@ -62,6 +62,35 @@ def test_incremental_update_rank_identical(spark, tmp_path):
         assert all(abs(g[1] - w[1]) < 1e-6 for g, w in zip(got, want)), q
 
 
+def test_distributed_relation_invalidated_on_update(spark, tmp_path):
+    """The shared (optionally persisted) distributed postings relation
+    must be re-analyzed when an incremental update swaps segment dirs —
+    a stale cached file listing would serve pre-update results (or
+    crash on vanished files)."""
+    base, delta, full = _updated_corpus(80)
+    p0 = tmp_path / "pages_v0.parquet"
+    p1 = tmp_path / "pages_v1.parquet"
+    base.to_parquet(p0, index=False)
+    full.to_parquet(p1, index=False)
+    inc = str(tmp_path / "inc")
+    build_index(spark, str(p0), inc, n_segments=4, salt_df_threshold=64)
+    eng = SearchEngine(spark, inc)
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")}
+    try:
+        eng.warm(distributed=True)  # persist the pre-update relation
+        assert eng.search("freshterm", k=20, mode="spark") == []
+        update_index(spark, str(p1), inc, since_ts="2025-01-01",
+                     salt_df_threshold=64)
+        after = eng.search("freshterm", k=20, mode="spark")
+        assert any("new.org" in u for u, _ in after)
+        # and the refreshed relation matches local mode exactly
+        assert after == eng.search("freshterm", k=20, mode="local")
+    finally:
+        for k, v in saved.items():  # warm() sets the serving posture;
+            spark.conf.set(k, v)    # the suite session keeps build conf
+
+
 def test_streaming_ingest(spark, tmp_path):
     base, delta, full = _updated_corpus()
     pages_dir = str(tmp_path / "pages")
