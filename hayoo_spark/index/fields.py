@@ -53,6 +53,37 @@ class FieldSpec:
 #: scoring (weight 1.0 on extracted body text)
 DEFAULT_FIELDS: tuple[FieldSpec, ...] = (FieldSpec("text", 1.0, True, "body"),)
 
+#: the COMPLETE 18-context Hayoo schema, weight/default/type-exact to
+#: hayooIndexer/src/Hayoo/Hunt/IndexSchema.hs:103-137 (byte shape in
+#: newHayooIndexer/00-schema.js).  Expected corpus shape: one row per
+#: declaration doc — the hoogle pipeline's decls_to_pages output joined
+#: with package metadata — with columns named like the contexts
+#: (author, category, …), a ``signature`` column feeding the
+#: sig_norm/sig_subsig derivations, and upload/indexed timestamps.
+#: ``hierarchy`` sources the module path (A.B.C tokenizes to its parts,
+#: the reference's hierarchy expansion); ``partial`` sources the decl
+#: name (name-part split).
+HAYOO_FIELDS: tuple[FieldSpec, ...] = (
+    FieldSpec("author", 1.0, True, "author"),
+    FieldSpec("category", 1.0, False, "category"),
+    FieldSpec("dependencies", 1.0, False, "dependencies"),
+    FieldSpec("description", 0.3, True, "body"),
+    FieldSpec("hierarchy", 0.1, True, "module"),
+    FieldSpec("indexed", 1.0, False, "indexed_ts", "date"),
+    FieldSpec("maintainer", 1.0, False, "maintainer"),
+    FieldSpec("module", 0.5, True, "module"),
+    FieldSpec("name", 3.0, True, "name"),
+    FieldSpec("package", 1.0, True, "package"),
+    FieldSpec("partial", 0.2, True, "name"),
+    FieldSpec("source", 0.1, False, "source"),
+    FieldSpec("synopsis", 0.8, True, "synopsis"),
+    FieldSpec("type", 0.0, False, "fct_type"),
+    FieldSpec("upload", 1.0, False, "upload_ts", "date"),
+    FieldSpec("version", 1.0, False, "version"),
+    FieldSpec("signature", 1.0, False, "sig_norm"),
+    FieldSpec("subsig", 0.5, False, "sig_subsig"),
+)
+
 #: the reference's signature contexts (IndexSchema.hs:123-136): both
 #: NoDefault, subsig at half the signature weight; terms come from the
 #: signature parser (signature.py), not the tokenizer

@@ -55,6 +55,21 @@ DEFAULT_BATCH = 1024
 #: fmtDateXmlSchema "%FT%X" (JsonUtil.hs:91-92)
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 
+#: per-context regexps for the full Hayoo schema, verbatim from
+#: 00-schema.js / IndexSchema.hs:103-149 (date contexts get
+#: DATE_REGEXP, everything absent here gets TEXT_REGEXP)
+HAYOO_REGEXPS: dict[str, str] = {
+    "dependencies": "[^ ]*",
+    "module": ".*",
+    "name": "[^ ]*",
+    "package": ".*",
+    "partial": "[^ ]*",
+    "source": ".*",
+    "version": ".*",
+    "signature": "[^$\n]*",
+    "subsig": "[^$\n]*",
+}
+
 
 # ---------------------------------------------------------------- documents
 

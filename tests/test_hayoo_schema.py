@@ -1,0 +1,119 @@
+"""The packaged 18-context Hayoo schema preset (HAYOO_FIELDS): DDL
+byte-parity with the reference's shipped 00-schema.js, and an e2e build
+over a declaration corpus with rank-identity vs the oracle."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from hayoo_spark import oracle
+from hayoo_spark.index.fields import HAYOO_FIELDS
+from hayoo_spark.sinks.commands import HAYOO_REGEXPS, schema_commands
+
+REF_SCHEMA = "/root/reference/newHayooIndexer/00-schema.js"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SCHEMA),
+                    reason="reference schema file not present")
+def test_schema_ddl_matches_reference_00_schema_js():
+    """schema_commands(HAYOO_FIELDS) must reproduce the reference's
+    shipped DDL file EXACTLY — context order, regexps, weights,
+    default flags, date types (00-schema.js:1-165)."""
+    with open(REF_SCHEMA) as fh:
+        want = json.load(fh)
+    got = schema_commands(HAYOO_FIELDS, HAYOO_REGEXPS)
+    assert got == want
+
+
+def _decl_corpus(n=40):
+    rows = []
+    for i in range(n):
+        pkg = f"pkg{i % 5}"
+        mod = f"Acme.Mod{i % 3}.Sub{i % 2}"
+        rows.append({
+            "url": f"https://hackage.test/{pkg}/docs#v:fn{i}",
+            "text": f"does thing number {i} walrus" + (" otter" if i % 4 == 0 else ""),
+            "author": f"author{i % 3}",
+            "category": "data" if i % 2 else "web",
+            "dependencies": f"base pkg{(i + 1) % 5}",
+            "module": mod,
+            "name": f"fooBar{i}",
+            "package": pkg,
+            "source": f"src-{i}",
+            "synopsis": f"synopsis words {i % 7}",
+            "fct_type": "function" if i % 3 else "data",
+            "version": f"1.{i % 4}",
+            "maintainer": f"m{i % 2}",
+            "signature": "(a -> b) -> [a] -> [b]" if i % 5 == 0 else f"Int -> T{i % 3}",
+            "upload_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+            "indexed_ts": pd.Timestamp("2024-06-01") + pd.Timedelta(days=i),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = ["en" if i % 2 else "de" for i in range(len(pdf))]
+    pdf["warc_ts"] = pd.Timestamp("2024-03-01")
+    for c in ("upload_ts", "indexed_ts", "warc_ts"):
+        pdf[c] = pdf[c].astype("datetime64[us]")  # Spark rejects NANOS
+    return pdf
+
+
+HAYOO_QUERIES = [
+    "fooBar7",                     # name context dominates (weight 3)
+    "walrus",                      # description (body) context
+    "package:pkg2",
+    "module:acme",                 # module tokens
+    "acme",                        # hierarchy + module both match
+    "type:function AND walrus",    # weight-0 filter context
+    "dependencies:base",
+    "upload:[2024-01 TO 2024-01] AND walrus",
+    "synopsis AND author:author1",
+]
+
+
+@pytest.fixture(scope="module")
+def hayoo_setup(spark, tmp_path_factory):
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    pdf = _decl_corpus()
+    d = tmp_path_factory.mktemp("hayooix")
+    src = str(d / "pages.parquet")
+    pdf.to_parquet(src, index=False)
+    ix = str(d / "ix")
+    build_index(spark, src, ix, n_segments=4, salt_df_threshold=64,
+                fields=HAYOO_FIELDS)
+    eng = SearchEngine(spark, ix)
+    oix = oracle.build_oracle_index(pdf, from_html=False,
+                                    fields=HAYOO_FIELDS)
+    return eng, oix
+
+
+def test_hayoo_schema_declared(hayoo_setup):
+    eng, _ = hayoo_setup
+    assert set(eng.date_fields) == {"upload", "indexed"}
+    assert eng.field_weights["name"] == 3.0
+    assert eng.field_weights["type"] == 0.0
+    # default (unscoped) set excludes the NoDefault contexts
+    assert "category" not in eng.default_fields
+    assert "name" in eng.default_fields
+
+
+@pytest.mark.parametrize("q", HAYOO_QUERIES)
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_hayoo_schema_rank_identity(hayoo_setup, q, mode):
+    eng, oix = hayoo_setup
+    got = eng.search(q, k=25, mode=mode)
+    want = oracle.search(oix, q, k=25)
+    assert [u for u, _ in got] == [u for u, _ in want], (
+        f"{q!r} [{mode}]\n got={got[:5]}\nwant={want[:5]}")
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, (q, gu)
+
+
+def test_hayoo_name_weight_outranks_description(hayoo_setup):
+    """A name hit (weight 3.0) outranks a description hit (0.3) —
+    the reference's ranking contract for its schema."""
+    eng, _ = hayoo_setup
+    hits = eng.search("foobar7", k=10)
+    assert hits and hits[0][0].endswith("#v:fn7")
