@@ -424,6 +424,39 @@ def s_hoogle_decls(spark, sf_dir):
                     "signature", "description", "doc_uri"))
 
 
+def q_haddock_decl_split(spark, sf_dir):
+    """T1 Haddock dialect: declaration-item virtual docs
+    (split.split_decl_virtual_docs; reference Haddock.hs:156-260).
+    One synthetic Haddock page per customer key with a module header
+    and two declaration items — emissions are pure arithmetic for the
+    DuckDB twin."""
+    from hayoo_spark.split import split_decl_virtual_docs
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    ks = k.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Mod"), ks,
+        F.lit("</title></head><body>"
+              '<div id="description"><div class="doc">module doc '), ks,
+        F.lit('</div></div><div id="interface">'
+              '<div class="top"><p class="src">'
+              '<a name="v:fn'), ks,
+        F.lit('" class="def">fn'), ks,
+        F.lit("</a> :: Alpha"), (k % 7).cast("string"),
+        F.lit(" -&gt; Beta"), (k % 5).cast("string"),
+        F.lit('</p><div class="doc">does thing '), ks,
+        F.lit('</div></div><div class="top"><p class="src">'
+              '<a name="t:Dat'), ks,
+        F.lit('" class="def">Dat'), ks,
+        F.lit("</a></p></div></div></body></html>"))
+    pages = cust.select(
+        F.concat(F.lit("https://h.test/p"), ks, F.lit(".html"))
+        .alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    out = split_decl_virtual_docs(pages)
+    return out.select("url", "signature")
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -704,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_insert_commands": s_insert_commands,
         "s_command_stream": s_command_stream,
         "s_hoogle_decls": s_hoogle_decls,
+        "q_haddock_decl_split": q_haddock_decl_split,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -1025,6 +1059,19 @@ WITH toks AS (
 SELECT 'https://doc/' || doc_id::VARCHAR AS uri,
        array_to_string(ts, ' ') AS index_text
 FROM toks WHERE len(ts) > 0"""
+    sql["q_haddock_decl_split"] = """
+WITH k AS (SELECT c_custkey::BIGINT AS k FROM customer)
+SELECT 'https://h.test/p' || k::VARCHAR || '.html' AS url,
+       '' AS signature
+FROM k
+UNION ALL
+SELECT 'https://h.test/p' || k::VARCHAR || '.html#v:fn' || k::VARCHAR,
+       'Alpha' || (k % 7)::VARCHAR || ' -> Beta' || (k % 5)::VARCHAR
+FROM k
+UNION ALL
+SELECT 'https://h.test/p' || k::VARCHAR || '.html#t:Dat' || k::VARCHAR,
+       ''
+FROM k"""
     sql["s_hoogle_decls"] = """
 WITH pre AS (
   SELECT c_custkey::BIGINT AS k,

@@ -39,6 +39,11 @@ def main(argv=None):
                     help="route queries through the frontend planner "
                          "(std/signature/fallback branches) instead of "
                          "the raw query language")
+    ap.add_argument("--complete", action="store_true",
+                    help="full-query completion instead of search: "
+                         "complete each input's LAST word and print the "
+                         "re-rendered whole queries (the reference's "
+                         "autocomplete pipeline)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,10 +57,16 @@ def main(argv=None):
 
     eng = SearchEngine(spark, args.index, mode=args.mode)
     if args.warm:
-        eng.warm(top_terms=args.warm)
+        # spark mode: also persist the postings relation + install the
+        # serving posture (AQE off, small shuffle partitions)
+        eng.warm(top_terms=args.warm, distributed=args.mode == "spark")
     queries = args.query or [ln.strip() for ln in sys.stdin if ln.strip()]
     for q in queries:
-        if args.select:
+        if args.complete:
+            print(json.dumps({"query": q,
+                              "completions": eng.autocomplete_queries(
+                                  q, n=args.k)}))
+        elif args.select:
             fields = tuple(args.select.split(","))
             rows = eng.search_docs(q, k=args.k, page=args.page, fields=fields)
             print(json.dumps({"query": q, "hits": rows}, default=str))
