@@ -30,11 +30,16 @@ CHECKPOINT_EVERY = 4
 def expand_frontier(links: DataFrame, seeds: DataFrame, rounds: int = 3,
                     src: str = "src", href: str = "href",
                     allow_host_re: str = r"\.org",
-                    deny_ext: tuple[str, ...] = U.DENY_EXT) -> DataFrame:
+                    deny_ext: tuple[str, ...] = U.DENY_EXT,
+                    robots: DataFrame | None = None) -> DataFrame:
     """Depth-bounded BFS over the link graph from ``seeds``.
 
     ``links``: (src, href) — raw outgoing links per page url.
     ``seeds``: (url) — entry points (assumed already canonical).
+    ``robots``: optional (host, robots_txt) relation — when given,
+    every round's new frontier is robots-filtered before scheduling
+    (the crawler framework's enableRobotsTxt switch; the reference
+    turns it off for its own mirror, HayooIndexer.hs:116,123).
     Returns (url, depth): every url the crawler would schedule within
     ``rounds`` hops, at its FIRST (minimum) depth — the dedup the
     reference's visited-set gives a crawl queue."""
@@ -61,6 +66,9 @@ def expand_frontier(links: DataFrame, seeds: DataFrame, rounds: int = 3,
                .distinct()
                .join(visited.select("url"), "url", "left_anti")
                .withColumn("depth", F.lit(depth)))
+        if robots is not None:
+            from ..sources.robots import robots_filter
+            nxt = robots_filter(nxt, robots)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)

@@ -45,6 +45,75 @@ def test_fetch_feeds_the_builder(spark, tmp_path):
         ["https://a.org/walrus"]
 
 
+def test_fetch_retries_transient_statuses(spark):
+    """429/5xx and transport OSErrors retry up to max_retries with the
+    backoff seam; a dead url degrades to a status-0 row instead of
+    failing the partition."""
+    from hayoo_spark.sources import fetch
+
+    def _flaky(url: str):
+        if url.endswith("slow"):
+            return 503, b""          # always transient -> exhausted
+        if url.endswith("boom"):
+            raise ConnectionResetError("nope")  # OSError family
+        return 200, b"<html><body>ok</body></html>"
+
+    df = spark.createDataFrame(
+        [("https://h.org/fine",), ("https://h.org/slow",),
+         ("https://h.org/boom",)], "url string")
+    got = {r["url"]: r for r in fetch.fetch_pages(
+        df, fetcher=_flaky, partitions=1, max_retries=2).collect()}
+    assert got["https://h.org/fine"]["status"] == 200
+    assert got["https://h.org/fine"]["attempts"] == 1
+    assert got["https://h.org/slow"]["status"] == 503
+    assert got["https://h.org/slow"]["attempts"] == 3
+    assert got["https://h.org/boom"]["status"] == 0
+    assert got["https://h.org/boom"]["attempts"] == 3
+
+
+def test_robots_matcher_rfc9309():
+    from hayoo_spark.sources.robots import is_allowed, parse_robots
+
+    txt = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok*\n"
+        "Disallow: /*.json$\n"
+        "\n"
+        "User-agent: hayoo\n"
+        "Disallow: /hayoo-only/\n")
+    # star group
+    assert is_allowed(txt, "/public/page")
+    assert not is_allowed(txt, "/private/x")
+    assert is_allowed(txt, "/private/ok/deep")   # longest match: Allow
+    assert not is_allowed(txt, "/api/data.json")  # wildcard + $ anchor
+    assert is_allowed(txt, "/api/data.jsonl")     # $ anchor respected
+    # specific agent group REPLACES the star group
+    assert not is_allowed(txt, "/hayoo-only/x", agent="hayoo")
+    assert is_allowed(txt, "/private/x", agent="hayoo")
+    # empty Disallow allows everything
+    assert parse_robots("User-agent: *\nDisallow:\n") == [(False, "")]
+    assert is_allowed("User-agent: *\nDisallow:\n", "/anything")
+
+
+def test_robots_filter_frontier(spark):
+    from hayoo_spark.sources.robots import robots_filter
+
+    frontier = spark.createDataFrame(
+        [("https://a.org/ok",), ("https://a.org/private/x",),
+         ("https://b.org/anything",), ("https://norobots.org/x",)],
+        "url string")
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /private/\n"),
+         ("b.org", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    got = sorted(r["url"] for r in
+                 robots_filter(frontier, robots).collect())
+    # a.org/private blocked, b.org fully blocked, missing robots -> allowed
+    assert got == ["https://a.org/ok", "https://norobots.org/x"]
+
+
 def test_default_transport_raises(spark):
     from hayoo_spark.sources import fetch
     from py4j.protocol import Py4JJavaError
