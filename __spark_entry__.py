@@ -1167,10 +1167,15 @@ sh AS (
                      THEN range(1, len(toks) - 1)
                      ELSE [1] END) AS i))
   WHERE length(shingle) > 0),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+-- join on the 56-bit md5 shingle hash, mirroring the Spark side
+shh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS shingle
+  FROM sh),
+sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
        CAST(ROUND(ix * 1.0 / (sa.sz + sb.sz - ix) * 10000) AS BIGINT)
