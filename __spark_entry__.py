@@ -1226,21 +1226,24 @@ def _minhash_lsh_sql(threshold: float = 0.2, num_hashes: int = 32,
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH {_SHINGLE_CTES},
-h AS (SELECT doc_id,
-             ('0x' || substr(md5(shingle), 1, 14))::BIGINT % {p} AS hv
-      FROM sh),
+-- 56-bit md5 shingle hashes, mirroring the Spark side's shared
+-- hashed-shingle relation (signatures, sizes, verify all read it)
+shh AS (SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS shingle
+        FROM sh),
+h AS (SELECT doc_id, shingle % {p} AS hv FROM shh),
 sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
 bands AS ({bands_sql}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS ix
   FROM cands c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  JOIN shh a ON a.doc_id = c.id_a
+  JOIN shh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b,
        CAST(ROUND(ix * 1.0 / (sa.sz + sb.sz - ix) * 10000) AS BIGINT)

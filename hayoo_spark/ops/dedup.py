@@ -107,26 +107,44 @@ def ngram_jaccard_pairs(docs: DataFrame, key: str = "doc_id",
     return out
 
 
+def hashed_shingles(docs: DataFrame, key: str = "doc_id",
+                    text: str = "text", n: int = 3) -> DataFrame:
+    """(key, shingle bigint): distinct shingles as 56-bit md5 hashes —
+    the shared relation signatures AND exact verification read (8-byte
+    join/shuffle keys instead of n-gram text)."""
+    return shingles(docs, key, text, n).select(
+        key, _md5i(F.col("shingle")).alias("shingle"))
+
+
+def _affine_coef(num_hashes: int, seed: int):
+    rng = np.random.RandomState(seed)
+    # 31-bit Mersenne-prime space: h' < 2^31, a < 2^15 -> a*h'+b < 2^47,
+    # no int64 overflow under ANSI mode
+    p = (1 << 31) - 1
+    return p, [(int(rng.randint(1, 1 << 15)), int(rng.randint(0, 1 << 31)))
+               for _ in range(num_hashes)]
+
+
+def _signatures_from_hashed(sh: DataFrame, key: str,
+                            num_hashes: int, seed: int) -> DataFrame:
+    p, coef = _affine_coef(num_hashes, seed)
+    h = F.pmod(F.col("shingle"), F.lit(p))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coef)
+    ]
+    sigs = sh.groupBy(key).agg(*aggs)
+    return sigs.select(key, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, key: str = "doc_id",
                        text: str = "text", n: int = 3,
                        num_hashes: int = 32, seed: int = 42) -> DataFrame:
     """(key, sig array<long>): MinHash over shingles with affine
     permutations h_i(x) = (a_i*x + b_i) mod p on a base 56-bit md5 hash.
     Deterministic given the seed."""
-    rng = np.random.RandomState(seed)
-    # 31-bit Mersenne-prime space: h' < 2^31, a < 2^15 -> a*h'+b < 2^47,
-    # no int64 overflow under ANSI mode
-    p = (1 << 31) - 1
-    coef = [(int(rng.randint(1, 1 << 15)), int(rng.randint(0, 1 << 31)))
-            for _ in range(num_hashes)]
-    sh = shingles(docs, key, text, n).withColumn(
-        "h", F.pmod(_md5i(F.col("shingle")), F.lit(p)))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coef)
-    ]
-    sigs = sh.groupBy(key).agg(*aggs)
-    return sigs.select(key, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+    return _signatures_from_hashed(
+        hashed_shingles(docs, key, text, n), key, num_hashes, seed)
 
 
 def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
@@ -139,7 +157,10 @@ def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
     the only affordable shape (the all-pairs join above is the oracle).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, key, text, n, num_hashes, seed)
+    # ONE hashed-shingle relation feeds signatures, sizes, and the
+    # exact verify (tokenize/explode once, int join keys throughout)
+    sh = hashed_shingles(docs, key, text, n).persist()
+    sigs = _signatures_from_hashed(sh, key, num_hashes, seed)
     # band bucket = md5-derived int of the band's signature slice — an
     # exact DuckDB twin exists ('0x'||substr(md5(s),1,14)::BIGINT), so
     # the whole LSH pipeline is oracle-checkable end to end
@@ -162,8 +183,7 @@ def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
         .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = shingles(docs, key, text, n)
+    # exact verify on the candidate set only (the shared relation)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     ash = sh.withColumnRenamed(key, "id_a").withColumnRenamed("shingle", "s_a")
     bsh = sh.withColumnRenamed(key, "id_b2").withColumnRenamed("shingle", "s_b")
