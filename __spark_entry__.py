@@ -620,6 +620,27 @@ def s_command_stream(spark, sf_dir):
     return parsed_ins.unionByName(parsed_del).unionByName(parsed_upd)
 
 
+def d_dedup_clusters(spark, sf_dir):
+    """Near-dup GROUPS from LSH-verified pairs: connected components
+    by iterative min-label propagation (ops/dedup.dedup_clusters) —
+    pair emission alone cannot dedup (a~b, b~c must share one keeper).
+    DuckDB twin: recursive min-reachable-id."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3,
+                                    threshold=0.2)
+    return dedup.dedup_clusters(pairs)
+
+
+def t_clean_corpus(spark, sf_dir):
+    """The composed training-data cleaning pass
+    (ops/textstats.clean_corpus): quality >= 0.5, lang allowlist
+    {en, de}, near-dup keeper-only (LSH pairs -> components)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+    out = textstats.clean_corpus(docs, min_quality_x1e4=5000,
+                                 langs=("en", "de"), dedup_pairs=pairs)
+    return out.select("doc_id", "quality_x1e4", "pred_lang")
+
+
 def t_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir)) \
         .select("doc_id", "n_tokens", "quality_x1e4")
@@ -738,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_command_stream": s_command_stream,
         "s_hoogle_decls": s_hoogle_decls,
         "q_haddock_decl_split": q_haddock_decl_split,
+        "d_dedup_clusters": d_dedup_clusters,
+        "t_clean_corpus": t_clean_corpus,
         "t_token_count": t_token_count,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -1025,6 +1048,33 @@ SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text)"""
     sql["d_ngram_jaccard"] = _jaccard_sql(0.2)
     sql["d_minhash_lsh"] = _minhash_lsh_sql(threshold=0.2)
+    _components = f"""
+pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(threshold=0.2)}) t),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(v, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v),
+clusters AS (
+  SELECT v AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY v)"""
+    sql["d_dedup_clusters"] = f"""
+WITH RECURSIVE {_components}
+SELECT doc_id, cluster_id,
+       (doc_id = cluster_id)::INT AS is_keeper
+FROM clusters"""
+    sql["t_clean_corpus"] = f"""
+WITH RECURSIVE {_components},
+q AS (SELECT * FROM ({_quality_sql()}) t),
+lg AS (SELECT * FROM ({_lang_id_sql()}) t)
+SELECT d.doc_id, q.quality_x1e4, lg.pred_lang
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN lg ON lg.doc_id = d.doc_id
+WHERE q.quality_x1e4 >= 5000
+  AND lg.pred_lang IN ('en', 'de')
+  AND d.doc_id NOT IN
+      (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)"""
     sql["d_simhash"] = _simhash_sql(max_hamming=6)
     sql["sim_lsh_topk"] = _lsh_topk_sql(dim=64, bits=6, multiprobe=2, k=10)
     sql["sim_ivf_topk"] = _ivf_topk_sql(n_cells=16, n_probe=4, k=10)

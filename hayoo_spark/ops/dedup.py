@@ -307,3 +307,44 @@ def embedding_neardup_pairs(emb: DataFrame, key: str = "vec_id",
         .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"),
                 F.round(F.col("cos") * 10000).cast("bigint").alias("cos_x1e4"))
     )
+
+
+def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
+                   key_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs ->
+    (doc_id, cluster_id, is_keeper).
+
+    Any of the pair generators above (exact, LSH-verified, SimHash,
+    embedding) yields PAIRS; an actual dedup pass needs GROUPS — a ~ b
+    and b ~ c must collapse to one keeper even when a ~ c was never
+    emitted.  cluster_id = the component's minimum id (the keeper under
+    the first-wins convention the builder's url dedup uses).
+
+    Spark shape: iterative min-label propagation — label(v) starts at v
+    and each round takes the min over neighbors' labels; converges in
+    component-diameter rounds (near-dup components are shallow: at web
+    scale essentially star-shaped around a template).  Lineage is cut
+    per round with localCheckpoint like ops/graph.transitive_closure;
+    per-round cost is one join + one groupBy on the EDGE relation,
+    linear in |E|.  Exact DuckDB twin: recursive min-reachable-id.
+    """
+    e = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (edges.select(F.col("a").alias("v")).distinct()
+              .withColumn("label", F.col("v")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["a"] == labels["v"])
+                 .select(F.col("b").alias("v"), F.col("label")))
+        new = (labels.unionByName(neigh)
+               .groupBy("v").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        # fixpoint: every (v, label) unchanged
+        if new.join(labels, ["v", "label"]).count() == new.count():
+            labels = new
+            break
+        labels = new
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("v") == F.col("label")).cast("int").alias("is_keeper"))

@@ -117,3 +117,37 @@ def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
         f"SELECT {key}, list_filter(regexp_extract_all(lower({text_col}), "
         f"'{TOKEN_RE}'), x -> length(x) >= {MIN_TOKEN_LEN}) AS f FROM {table})"
     )
+
+
+def clean_corpus(docs: DataFrame, key: str = "doc_id",
+                 text: str = "text",
+                 min_quality_x1e4: int = 5000,
+                 langs: tuple[str, ...] = ("en",),
+                 dedup_pairs: DataFrame | None = None) -> DataFrame:
+    """The composed training-data cleaning pass (the C4/RefinedWeb
+    recipe shape): quality threshold AND language allowlist AND
+    near-duplicate removal, as one declarative plan —
+
+    - quality: composite heuristic score >= ``min_quality_x1e4``;
+    - language: stopword-profile prediction in ``langs``;
+    - dedup: given near-dup PAIRS (any generator in ops/dedup), keep
+      only each connected component's keeper (min id), via
+      dedup.dedup_clusters + a left-anti join on the non-keepers.
+
+    Returns the surviving docs with (quality_x1e4, pred_lang) attached
+    — Catalyst fuses the two stopword/token passes over one scan; the
+    only shuffles are the component propagation (bounded by component
+    diameter) and the final anti-join on the (small) non-keeper set.
+    """
+    q = quality_score(docs, key, text).select(key, "quality_x1e4")
+    lg = lang_id(docs, key, text).select(key, "pred_lang")
+    out = (docs.join(q, key).join(lg, key)
+           .filter(F.col("quality_x1e4") >= min_quality_x1e4)
+           .filter(F.col("pred_lang").isin(list(langs))))
+    if dedup_pairs is not None:
+        from .dedup import dedup_clusters
+        drop = (dedup_clusters(dedup_pairs)
+                .filter(F.col("is_keeper") == 0)
+                .select(F.col("doc_id").alias(key)))
+        out = out.join(F.broadcast(drop), key, "left_anti")
+    return out

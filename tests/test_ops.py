@@ -288,6 +288,43 @@ def test_crawl_frontier_bfs_filters_and_min_depth(spark):
                    ("https://a.org/deep", 3)}
 
 
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c collapse to ONE cluster even though a~c was never
+    emitted; keeper = min id; disjoint pairs stay separate."""
+    from hayoo_spark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0),
+                   7: (7, 1), 8: (7, 0), 9: (7, 0),
+                   20: (20, 1), 21: (20, 0)}
+
+
+def test_clean_corpus_composition(spark):
+    """quality + lang + keeper-only filters compose; near-dup
+    non-keepers drop, keepers survive."""
+    import pandas as pd
+
+    from hayoo_spark.ops import textstats
+
+    good = ("the quick brown fox and the lazy dog with many common "
+            "words of the language and more of the same here ") * 3
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good, good + " tail", "zzz qqq xxp", good],
+    })
+    docs = spark.createDataFrame(pdf)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = textstats.clean_corpus(docs, min_quality_x1e4=4000,
+                                 langs=("en",), dedup_pairs=pairs)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 3 fails quality/lang; 2 and 4 are non-keepers of cluster {1,2,4}
+    assert kept == [1]
+
+
 def test_crawl_frontier_respects_robots(spark):
     """With a robots relation, disallowed urls never enter the visited
     set NOR get expanded (blocked at scheduling, like a real crawler)."""
