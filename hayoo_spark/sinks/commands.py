@@ -234,6 +234,26 @@ def write_command_batches(cmds: DataFrame, path: str,
      .write.mode("overwrite").text(path))
 
 
+def stream_insert_commands(pages_stream: DataFrame, path: str,
+                           checkpoint: str,
+                           fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS):
+    """Continuous Hunt feed: a STREAMING pages source drains into
+    batch-numbered insert-command directories (`batch=NNNNNNNN/`,
+    lexicographic = arrival order), exactly-once via the checkpoint —
+    the streaming twin of write_insert_commands and the reference's
+    continuous-indexing loop (crawler → indexer → POST) re-expressed
+    as Structured Streaming.  Returns the StreamingQuery; callers
+    trigger availableNow in tests, continuous in deployment."""
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        insert_commands(batch_df, fields).write.mode("overwrite").text(
+            os.path.join(path, f"batch={batch_id:08d}"))
+
+    return (pages_stream.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def write_command_stream(path: str, pages: DataFrame,
                          fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
                          deletes: DataFrame | None = None,

@@ -133,6 +133,41 @@ def test_schema_ddl_matches_reference_shapes():
     assert C.noop_cmd() == {"cmd": "noop"}
 
 
+def test_stream_insert_commands(spark, tmp_path):
+    """Streaming pages -> batch-numbered insert-command dirs with
+    exactly-once checkpointing; a second drain adds nothing."""
+    from pyspark.sql import functions as F
+
+    from hayoo_spark.sinks import commands as C
+
+    src = str(tmp_path / "pages_src")
+    pages = _pages(spark, [
+        ("https://s.org/p%d" % i,
+         ("<html><body>streamed doc %d</body></html>" % i).encode())
+        for i in range(6)])
+    pages.write.parquet(src)
+    stream = spark.readStream.schema("url string, html binary").parquet(src)
+    out = str(tmp_path / "cmds")
+    ckpt = str(tmp_path / "ckpt")
+    q = C.stream_insert_commands(stream, out, ckpt)
+    q.awaitTermination(120)
+    lines = []
+    for p in glob.glob(out + "/batch=*/part-*"):
+        with open(p) as fh:
+            lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert sorted(c["document"]["uri"] for c in lines) == \
+        ["https://s.org/p%d" % i for i in range(6)]
+    # drain again: checkpoint makes it a no-op (exactly-once)
+    stream2 = spark.readStream.schema("url string, html binary").parquet(src)
+    q2 = C.stream_insert_commands(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    lines2 = []
+    for p in glob.glob(out + "/batch=*/part-*"):
+        with open(p) as fh:
+            lines2 += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(lines2) == len(lines)
+
+
 def test_write_command_stream_phases_and_batches(spark, tmp_path):
     """Phase-ordered replay layout + cmdSequence array batching."""
     from pyspark.sql import functions as F
