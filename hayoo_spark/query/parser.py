@@ -275,9 +275,7 @@ def print_query(node: Node) -> str:
     if isinstance(node, And):
         return " AND ".join(_print_child(c) for c in node.children)
     if isinstance(node, Or):
-        return " OR ".join(
-            f"({print_query(c)})" if isinstance(c, Or)
-            else print_query(c) for c in node.children)
+        return " OR ".join(_print_child(c) for c in node.children)
     if isinstance(node, AndNot):
         return (f"{_print_child(node.left)} AND NOT "
                 f"{_print_child(node.right)}")
@@ -285,8 +283,10 @@ def print_query(node: Node) -> str:
 
 
 def _print_child(c: Node) -> str:
-    # Or / AndNot bind looser than AND: parenthesize them inside AND
-    if isinstance(c, (Or, AndNot)):
+    # parenthesize EVERY composite child: precedence aside, the parser
+    # flattens same-type nesting (a AND a AND b == one And), so only
+    # explicit grouping makes print->parse structure-preserving
+    if isinstance(c, (And, Or, AndNot)):
         return f"({print_query(c)})"
     return print_query(c)
 

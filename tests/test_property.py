@@ -98,3 +98,48 @@ def test_parser_total(q):
     assert isinstance(node, P.Node)
     # scoring_terms never crashes on a valid plan
     P.scoring_terms(node)
+
+
+# --- print_query round-trip (full-query completion's rendering) ---------
+
+_word = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+_field = st.sampled_from(["text", "title", "body2"])
+_boost = st.sampled_from([1.0, 0.5, 2.0, 0.1, 3.25])
+
+
+def _leaves():
+    return st.one_of(
+        st.builds(P.Term, term=_word, field=_field, boost=_boost),
+        st.builds(P.Prefix, prefix=_word, field=_field, boost=_boost),
+        st.builds(P.Fuzzy, term=_word, field=_field, boost=_boost),
+        st.builds(lambda ws, b: P.Phrase(tuple(ws), boost=b),
+                  st.lists(_word, min_size=1, max_size=4), _boost),
+        st.builds(lambda lo, hi: P.RangeFilter("warc_ts", lo, hi),
+                  st.sampled_from(["2024-01-01", "2024-03"]),
+                  st.sampled_from(["2024-06-01", "2025"])),
+    )
+
+
+def _asts():
+    return st.recursive(
+        _leaves(),
+        lambda kids: st.one_of(
+            st.builds(lambda cs: P.And(tuple(cs)),
+                      st.lists(kids, min_size=2, max_size=3)),
+            st.builds(lambda cs: P.Or(tuple(cs)),
+                      st.lists(kids, min_size=2, max_size=3)),
+            st.builds(P.AndNot, kids, kids),
+        ),
+        max_leaves=8,
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(_asts())
+def test_print_query_roundtrips(ast):
+    """parse(print_query(ast)) == ast for every printable AST — the
+    invariant full-query completion's re-rendering relies on
+    (parser.print_query / complete_queries)."""
+    from hayoo_spark.query.parser import print_query
+
+    assert parse(print_query(ast)) == ast
