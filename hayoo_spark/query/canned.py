@@ -50,3 +50,70 @@ def render(name: str, **params: str) -> str:
         return TEMPLATES[name].format(**clean)
     except KeyError as e:
         raise KeyError(f"canned query {name!r} missing param {e}") from e
+
+
+# --- typed drill-downs (the reference's ContextQuery family) --------------
+
+#: which drill-downs a result of each fct_type offers
+#: (hayooFrontend/src/Hayoo/Common.hs:477-482 contextQueries)
+CONTEXT_QUERIES: dict[str, tuple[str, ...]] = {
+    "package": ("reverse-dependencies", "package-modules",
+                "package-datatypes", "packages-by-author"),
+    "module": ("module-content", "related-package"),
+    "_default": ("related-module", "related-package"),
+}
+
+
+def context_queries(fct_type: str) -> tuple[str, ...]:
+    """Drill-down names offered for a result of ``fct_type``
+    (Common.hs:477-482: Package / Module / everything else)."""
+    return CONTEXT_QUERIES.get(fct_type, CONTEXT_QUERIES["_default"])
+
+
+def _tok(v: str) -> str:
+    return _SAFE_TOKEN.sub("", str(v))
+
+
+def render_context(name: str, package: str = "",
+                   modules: tuple[str, ...] = (),
+                   author: str = "") -> str:
+    """Render one typed drill-down into the query language
+    (Common.hs:453-467 contextQueryToQuery), over the HAYOO_FIELDS
+    contexts (dependencies / package / type / author / module / name):
+
+    - reverse-dependencies: packages depending on this one;
+    - package-modules / package-datatypes: the package's modules /
+      data-newtype-type declarations (type is the weight-0 filter
+      context, IndexSchema.hs:119);
+    - packages-by-author: authors split on commas, each an AND of
+      author-context words (the reference uses scoped phrases; this
+      surface syntax scopes single words — same match set for
+      whole-author-name queries on tokenized author contexts);
+    - module-content / related-module: OR over the result's modules
+      (modulesInContext);
+    - related-package: the package's own package-typed doc."""
+    mods = " OR ".join(f"module:{_tok(m)}" for m in modules if _tok(m))
+    if name == "reverse-dependencies":
+        return f"dependencies:{_tok(package)}"
+    if name == "package-modules":
+        return f"package:{_tok(package)} AND type:module"
+    if name == "package-datatypes":
+        return (f"package:{_tok(package)} AND "
+                f"(type:data OR type:newtype OR type:type)")
+    if name == "packages-by-author":
+        parts = []
+        for a in str(author).split(","):
+            words = [_tok(w) for w in a.split() if _tok(w)]
+            if words:
+                parts.append(" AND ".join(f"author:{w}" for w in words))
+        return " OR ".join(f"({p})" if " AND " in p else p
+                           for p in parts)
+    if name == "module-content":
+        return f"package:{_tok(package)} AND ({mods})" if mods else \
+            f"package:{_tok(package)}"
+    if name == "related-package":
+        return f"name:{_tok(package)} AND type:package"
+    if name == "related-module":
+        return f"({mods}) AND type:module" if mods else "type:module"
+    raise KeyError(f"unknown context query {name!r}; "
+                   f"have {sorted(set().union(*CONTEXT_QUERIES.values()))}")

@@ -111,6 +111,41 @@ def test_hayoo_schema_rank_identity(hayoo_setup, q, mode):
         assert abs(gs - ws) < 1e-6, (q, gu)
 
 
+def test_context_drilldowns(hayoo_setup):
+    """The reference's typed ContextQuery family rendered into the
+    query language and evaluated over the 18-context index
+    (Common.hs:453-482)."""
+    from hayoo_spark.query import canned
+
+    eng, oix = hayoo_setup
+    assert canned.context_queries("package") == (
+        "reverse-dependencies", "package-modules", "package-datatypes",
+        "packages-by-author")
+    assert canned.context_queries("function") == (
+        "related-module", "related-package")
+
+    # package-datatypes: data decls of pkg1 only
+    q = canned.render_context("package-datatypes", package="pkg1")
+    got = eng.search(q, k=50)
+    assert got
+    want = oracle.search(oix, q, k=50)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    # reverse-dependencies: docs whose dependencies mention pkg2
+    q = canned.render_context("reverse-dependencies", package="pkg2")
+    hits = {u for u, _ in eng.search(q, k=100)}
+    assert hits  # corpus wires dependencies = "base pkg{(i+1)%5}"
+    # module-content over two modules of a package
+    q = canned.render_context(
+        "module-content", package="pkg1",
+        modules=("Acme.Mod1.Sub1", "Acme.Mod2.Sub0"))
+    assert eng.search(q, k=50) == [
+        (u, s) for u, s in oracle.search(oix, q, k=50)]
+    # packages-by-author: comma-split author list
+    q = canned.render_context("packages-by-author",
+                              author="author1, author2")
+    assert eng.search(q, k=100)
+
+
 def test_hayoo_name_weight_outranks_description(hayoo_setup):
     """A name hit (weight 3.0) outranks a description hit (0.3) —
     the reference's ranking contract for its schema."""
