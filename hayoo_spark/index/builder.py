@@ -187,6 +187,12 @@ def extract_text(df: DataFrame, html_col: str = "html",
 
 def field_tokens_col(f: FieldSpec):
     """Token array for one field spec (see fields.FieldSpec.source)."""
+    if getattr(f, "token_mode", "tokens") == "whole":
+        # `.*`-regexp contexts (module/package/version): the whole
+        # trimmed value is ONE lowercased term
+        v = F.lower(F.trim(F.col(f.source).cast("string")))
+        return F.filter(F.array(v),
+                        lambda x: x.isNotNull() & (x != ""))
     if f.source in ("sig_norm", "sig_subsig"):
         # signature contexts (T7-T10): terms are whole normalized
         # signature strings from the parser, not tokenizer output —
@@ -482,7 +488,9 @@ def build_index(
                        key=lambda r: r["fkey"])
         fields = tuple(
             FieldSpec(r["field"], r["weight"], r["is_default"], r["source"],
-                      r.asDict().get("ftype", "text")) for r in srows)
+                      r.asDict().get("ftype", "text"),
+                      r.asDict().get("token_mode", "tokens"))
+            for r in srows)
         if "drop_empty" in srows[0].asDict():
             drop_empty = bool(srows[0]["drop_empty"])
         if "split_sections" in srows[0].asDict():
@@ -653,6 +661,8 @@ def _write_stats(a, fields, drop_empty, split_sections, stats_path):
         "is_default": [bool(f.default) for f in fields],
         "source": [f.source for f in fields],
         "ftype": [f.ftype for f in fields],
+        "token_mode": [getattr(f, "token_mode", "tokens")
+                       for f in fields],
         "n_docs": np.full(len(fields), int(n_docs), np.int64),
         "avgdl": [avgdl.get(f.name, 1.0) for f in fields],
         "total_tokens": [int(a[f"tot_{f.name}"] or 0)
@@ -663,6 +673,7 @@ def _write_stats(a, fields, drop_empty, split_sections, stats_path):
         ("field", pa.string()), ("fkey", pa.int32()),
         ("weight", pa.float64()), ("is_default", pa.bool_()),
         ("source", pa.string()), ("ftype", pa.string()),
+        ("token_mode", pa.string()),
         ("n_docs", pa.int64()),
         ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
         ("drop_empty", pa.bool_()),

@@ -47,6 +47,10 @@ class FieldSpec:
     default: bool = True       # searched by unscoped query terms
     source: str = "body"
     ftype: str = "text"        # "text" | "date"
+    #: "tokens" (the standard tokenizer) or "whole" (the trimmed,
+    #: lowercased value is ONE term — the reference's `.*` context
+    #: regexp: module / package / version store full dotted paths)
+    token_mode: str = "tokens"
 
 
 #: single-field schema — the pre-multi-field behavior, byte-compatible
@@ -71,15 +75,18 @@ HAYOO_FIELDS: tuple[FieldSpec, ...] = (
     FieldSpec("hierarchy", 0.1, True, "module"),
     FieldSpec("indexed", 1.0, False, "indexed_ts", "date"),
     FieldSpec("maintainer", 1.0, False, "maintainer"),
-    FieldSpec("module", 0.5, True, "module"),
+    # `.*`-regexp contexts store the WHOLE value as one term
+    # (module:Control.Exception matches the full dotted path,
+    # Examples.md:12; hierarchy separately tokenizes the parts)
+    FieldSpec("module", 0.5, True, "module", token_mode="whole"),
     FieldSpec("name", 3.0, True, "name"),
-    FieldSpec("package", 1.0, True, "package"),
+    FieldSpec("package", 1.0, True, "package", token_mode="whole"),
     FieldSpec("partial", 0.2, True, "name"),
-    FieldSpec("source", 0.1, False, "source"),
+    FieldSpec("source", 0.1, False, "source", token_mode="whole"),
     FieldSpec("synopsis", 0.8, True, "synopsis"),
     FieldSpec("type", 0.0, False, "fct_type"),
     FieldSpec("upload", 1.0, False, "upload_ts", "date"),
-    FieldSpec("version", 1.0, False, "version"),
+    FieldSpec("version", 1.0, False, "version", token_mode="whole"),
     FieldSpec("signature", 1.0, False, "sig_norm"),
     FieldSpec("subsig", 0.5, False, "sig_subsig"),
 )

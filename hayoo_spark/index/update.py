@@ -108,7 +108,8 @@ def update_index(
             key=lambda r: r["fkey"])
         build_kwargs["fields"] = tuple(
             FieldSpec(r["field"], r["weight"], r["is_default"], r["source"],
-                      r.asDict().get("ftype", "text"))
+                      r.asDict().get("ftype", "text"),
+                      r.asDict().get("token_mode", "tokens"))
             for r in srows)
         if "drop_empty" in srows[0].asDict():
             build_kwargs.setdefault("drop_empty", bool(srows[0]["drop_empty"]))

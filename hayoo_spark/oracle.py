@@ -86,6 +86,9 @@ def _field_tokens_py(row, f: FieldSpec, from_html: bool) -> list[str]:
     """Token list for one field of one page row — signature contexts
     bypass the tokenizer (terms ARE normalized signature strings; the
     same pure function the builder's pandas UDF applies)."""
+    if getattr(f, "token_mode", "tokens") == "whole":
+        v = str(row[f.source]).strip().lower()
+        return [v] if v else []
     if f.source in ("sig_norm", "sig_subsig"):
         from .signature import index_terms
         return index_terms(row.get("signature"), f.source)

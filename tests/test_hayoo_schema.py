@@ -62,8 +62,8 @@ HAYOO_QUERIES = [
     "fooBar7",                     # name context dominates (weight 3)
     "walrus",                      # description (body) context
     "package:pkg2",
-    "module:acme",                 # module tokens
-    "acme",                        # hierarchy + module both match
+    "module:Acme.Mod1.Sub1",       # whole dotted path (`.*` context)
+    "acme",                        # hierarchy tokenizes the parts
     "type:function AND walrus",    # weight-0 filter context
     "dependencies:base",
     "upload:[2024-01 TO 2024-01] AND walrus",
