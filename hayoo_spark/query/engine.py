@@ -37,7 +37,8 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from . import plan as P
 from .parser import parse
 from .wand import (
-    SegmentData, SegmentEvaluator, _flat_terms, docs_loaded,
+    SegmentData, SegmentEvaluator, _flat_terms, _flat_with_not,
+    docs_loaded,
     load_segment_docs,
 )
 
@@ -393,7 +394,7 @@ class SearchEngine:
         weights, default_fields = self.field_weights, self.default_fields
         date_fields = self.date_fields
         docs_root = os.path.join(self.index_dir, "docs")
-        flat = _flat_terms(ast)
+        flat, flat_not = _flat_with_not(ast)
         # a bare phrase is segment-prunable like a flat query (every
         # term must be present) and has its own bound-ordered evaluator
         is_phrase = isinstance(ast, P.Phrase)
@@ -417,7 +418,8 @@ class SearchEngine:
             ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale,
                                   weights, default_fields, date_fields)
             if flat is not None:
-                ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
+                ids, sc = ev.top_m_pruned(flat[0], flat[1], m,
+                                          exclude=flat_not)
             elif is_phrase:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:
@@ -579,7 +581,7 @@ class SearchEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         idf_map = self._idf_map(needed)
-        flat = _flat_terms(ast)
+        flat, flat_not = _flat_with_not(ast)
         docs_root = os.path.join(self.index_dir, "docs")
 
         seg_rows = self._fetch_rows(set(needed))
@@ -614,7 +616,8 @@ class SearchEngine:
                                   self.field_weights, self.default_fields,
                                   self.date_fields)
             if flat is not None:
-                ids, sc = ev.top_m_pruned(flat[0], flat[1], m)
+                ids, sc = ev.top_m_pruned(flat[0], flat[1], m,
+                                          exclude=flat_not)
             elif is_phrase:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:

@@ -407,6 +407,21 @@ def _flat_terms(node: P.Node):
     return None
 
 
+def _flat_with_not(node: P.Node):
+    """-> (flat, exclude_node): a flat query, or AndNot whose LEFT is
+    flat — the right side becomes the pruned path's exclusion set (an
+    exhaustive evaluation of the heavy left side just to subtract a
+    usually-small match set was the last unpruned query shape)."""
+    flat = _flat_terms(node)
+    if flat is not None:
+        return flat, None
+    if isinstance(node, P.AndNot):
+        inner = _flat_terms(node.left)
+        if inner is not None:
+            return inner, node.right
+    return None, None
+
+
 def _union_sum(all_ids: list, all_sc: list):
     """Union doc-id lists, summing scores (vectorized OR combine)."""
     cat = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
@@ -670,7 +685,16 @@ class SegmentEvaluator:
 
     # ---------- block-max pruned top-m (flat term queries) ----------
 
-    def top_m_pruned(self, kind: str, leaves: list[tuple[str, float]], m: int):
+    @staticmethod
+    def _member_of(vals: np.ndarray, sorted_ref: np.ndarray) -> np.ndarray:
+        """Boolean membership of ``vals`` in sorted ``sorted_ref``."""
+        idx = np.searchsorted(sorted_ref, vals)
+        ok = idx < len(sorted_ref)
+        ok[ok] = sorted_ref[idx[ok]] == vals[ok]
+        return ok
+
+    def top_m_pruned(self, kind: str, leaves: list[tuple[str, float]],
+                     m: int, exclude: "P.Node | None" = None):
         """Exact top-m for flat OR/AND of unscoped terms using block
         upper bounds.  Each term expands over the default field set
         (BM25F), so a leaf becomes one posting list per (field, term).
@@ -679,8 +703,19 @@ class SegmentEvaluator:
         semantics, batch form).  AND: a doc matches a term if it occurs
         in ANY default field — per-term field-union, intersect across
         terms (already sublinear), then exact scoring.
+
+        ``exclude``: an optional AST whose MATCH SET is subtracted
+        while pruning (the AND NOT right side): excluded docs never
+        enter the accumulator or the theta count, so the bound logic
+        stays admissible and the heavy left side still prunes —
+        previously any AndNot fell back to exhaustive evaluation.
         """
         s = self.seg
+        ex_ids = None
+        if exclude is not None:
+            ex_ids, _ = self.evaluate(exclude)
+            if ex_ids.size == 0:
+                ex_ids = None
         if kind == "and":
             ids = None
             for t, _ in leaves:
@@ -691,6 +726,8 @@ class SegmentEvaluator:
                     ids, tids, assume_unique=True)
                 if ids.size == 0:
                     break
+            if ids is not None and ids.size and ex_ids is not None:
+                ids = np.setdiff1d(ids, ex_ids, assume_unique=True)
             if ids is None or ids.size == 0:
                 return np.zeros(0, np.int64), np.zeros(0)
             sc = np.zeros(len(ids))
@@ -713,6 +750,9 @@ class SegmentEvaluator:
         if len(fl) > 8:
             node = P.Or(tuple(P.Term(t, boost=b) for t, b in leaves))
             ids, sc = self.evaluate(node)
+            if ex_ids is not None and ids.size:
+                keep = ~self._member_of(ids, ex_ids)
+                ids, sc = ids[keep], sc[keep]
             return self._cut(ids, sc, m)
 
         # OR: build elementary intervals from the union of block boundaries
@@ -738,6 +778,7 @@ class SegmentEvaluator:
         top_sc: list[np.ndarray] = []
         theta = -np.inf
         count = 0
+        next_theta_at = m
         for oi in order:
             if count >= m and iv_ub[oi] < theta:
                 break  # no remaining interval can reach the current top-m
@@ -757,14 +798,31 @@ class SegmentEvaluator:
                     boost * self.idf.get((f, t), 0.0) * norms * s.boost[sl_ids])
             if not iv_cat_ids:
                 continue
-            uniq, acc = _union_sum(iv_cat_ids, iv_cat_sc)
+            if len(iv_cat_ids) == 1:
+                # single contributing list (every single-term query):
+                # a block slice is already unique + sorted — the
+                # union machinery (unique/argsort/cumsum) is pure
+                # overhead at ~20 numpy calls per interval
+                uniq, acc = iv_cat_ids[0], iv_cat_sc[0]
+            else:
+                uniq, acc = _union_sum(iv_cat_ids, iv_cat_sc)
+            if ex_ids is not None and uniq.size:
+                keep = ~self._member_of(uniq, ex_ids)
+                if not keep.all():
+                    uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    continue
             top_ids.append(uniq)
             top_sc.append(acc)
             count += len(uniq)
-            if count >= m:
+            if count >= next_theta_at:
                 allsc = np.concatenate(top_sc)
                 if len(allsc) >= m:
                     theta = np.partition(allsc, -m)[-m]
+                # refresh on doublings: theta freshness barely moves
+                # after the first few intervals, while a partition per
+                # interval dominated the single-heavy-term profile
+                next_theta_at = max(count * 2, m)
         ids = np.concatenate(top_ids)
         sc = np.concatenate(top_sc)
         return self._cut(ids, sc, m)
