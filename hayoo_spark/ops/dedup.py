@@ -25,6 +25,8 @@ JVM-side).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..analysis import tokens_col
+
+log = logging.getLogger(__name__)
 
 # md5-derived 56-bit integer hash — computable identically in DuckDB:
 #   CAST(CONV(substr(md5(x),1,14),16,10) AS BIGINT)  (Spark)
@@ -345,6 +349,7 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
         .distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("v")).distinct()
               .withColumn("label", F.col("v")))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["a"] == labels["v"])
                  .select(F.col("b").alias("v"), F.col("label")))
@@ -354,8 +359,18 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
         # fixpoint: every (v, label) unchanged
         if new.join(labels, ["v", "label"]).count() == new.count():
             labels = new
+            converged = True
             break
         labels = new
+    if not converged:
+        # a component with diameter > max_iter would return split
+        # clusters (multiple keepers) — surface it instead of handing
+        # silently-wrong labels downstream
+        log.warning(
+            "dedup_clusters: min-label propagation did not converge "
+            "within max_iter=%d rounds; some components have diameter "
+            "> max_iter and are reported as multiple clusters. "
+            "Raise max_iter.", max_iter)
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -137,7 +137,12 @@ def clean_corpus(docs: DataFrame, key: str = "doc_id",
     Returns the surviving docs with (quality_x1e4, pred_lang) attached
     — Catalyst fuses the two stopword/token passes over one scan; the
     only shuffles are the component propagation (bounded by component
-    diameter) and the final anti-join on the (small) non-keeper set.
+    diameter) and the final anti-join on the non-keeper set.  That
+    anti-join is a plain shuffle join on purpose: real web corpora
+    shed 30-50% of docs to near-dup removal, so the drop set is
+    O(corpus) — broadcasting it would OOM the driver at scale.  AQE
+    still downgrades it to a broadcast at runtime when the measured
+    size is small, which is the right call in both directions.
     """
     q = quality_score(docs, key, text).select(key, "quality_x1e4")
     lg = lang_id(docs, key, text).select(key, "pred_lang")
@@ -149,5 +154,5 @@ def clean_corpus(docs: DataFrame, key: str = "doc_id",
         drop = (dedup_clusters(dedup_pairs)
                 .filter(F.col("is_keeper") == 0)
                 .select(F.col("doc_id").alias(key)))
-        out = out.join(F.broadcast(drop), key, "left_anti")
+        out = out.join(drop, key, "left_anti")
     return out

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .sources.tarball import utf8_lenient
+
 #: cabal keys projected into the package table (the contexts the
 #: reference fills from the package description, IndexSchema.hs:60-85)
 CABAL_KEYS = ("name", "version", "synopsis", "author", "category",
@@ -41,7 +43,7 @@ def entries_to_lines(entries: DataFrame) -> DataFrame:
     """(archive, entry, payload) tar members -> (file, line_no, text)
     line streams, one ``file`` per member — the per-file unit the
     hoogle fold needs (executor-side decode + posexplode; no driver)."""
-    body = F.regexp_replace(F.decode("payload", "UTF-8"), "\n$", "")
+    body = F.regexp_replace(utf8_lenient("payload"), "\n$", "")
     return (entries
             .select(F.concat_ws("/", "archive", "entry").alias("file"),
                     F.posexplode(F.split(body, "\n"))
@@ -54,7 +56,7 @@ def package_table(cabal_entries: DataFrame) -> DataFrame:
     dotted-numeric compare, padded component-wise)."""
     from .ops import meta as M
     blocks = cabal_entries.select(
-        F.decode("payload", "UTF-8").alias("meta"),
+        utf8_lenient("payload").alias("meta"),
         F.col("mtime"))
     parsed = M.parse_meta(blocks, "meta", CABAL_KEYS) \
         .filter(F.col("name") != "")
@@ -130,7 +132,7 @@ def index_hackage(spark: SparkSession, hoogle_tar_dir: str,
     cab = read_tar_entries(spark, cabal_tar_dir, pattern="*.cabal")
     packages = package_table(cab)
     edges = M.depends_edges(
-        cab.select(F.decode("payload", "UTF-8").alias("meta")))
+        cab.select(utf8_lenient("payload").alias("meta")))
     ranks = package_rank(packages, edges)
 
     hg = read_tar_entries(spark, hoogle_tar_dir, pattern="*.txt")
@@ -147,6 +149,7 @@ def index_hackage(spark: SparkSession, hoogle_tar_dir: str,
         pages = spark.read.parquet(src)
         write_command_stream(
             commands_dir, pages, fields=HAYOO_FIELDS,
+            regexps=HAYOO_REGEXPS,
             deletes=packages.select("name"),
             weights=ranks.select(F.col("package").alias("url_pkg"),
                                  "rank")

@@ -98,6 +98,10 @@ class SearchEngine:
         # indexes and disable pruning outright (ADVICE r2).
         man = spark.read.parquet(os.path.join(index_dir, "manifest"))
         self.ub_scale = self._ub_scales(man)
+        # serving metrics: EKG-analogue counters + latency distributions
+        # per operation (reference /stats surface, Metrics.hs:43-78)
+        from .metrics import MetricsStore
+        self._metrics = MetricsStore()
 
         self._terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
         # driver dict: per field, term-sorted arrays (cutover to the
@@ -358,6 +362,11 @@ class SearchEngine:
 
     def _search_ast(self, ast: P.Node, k: int, page: int,
                     mode: str | None) -> list[tuple[str, float]]:
+        with self._metrics.measure("searches"):
+            return self._search_ast_unmetered(ast, k, page, mode)
+
+    def _search_ast_unmetered(self, ast: P.Node, k: int, page: int,
+                              mode: str | None) -> list[tuple[str, float]]:
         ast = self._rewrite_prefixes(ast)
         needed = self._scoring_pairs(ast)
         m = (page + 1) * k
@@ -394,7 +403,7 @@ class SearchEngine:
         weights, default_fields = self.field_weights, self.default_fields
         date_fields = self.date_fields
         docs_root = os.path.join(self.index_dir, "docs")
-        flat, flat_not = _flat_with_not(ast)
+        flat, flat_not = _flat_with_not(ast, self.field_weights)
         # a bare phrase is segment-prunable like a flat query (every
         # term must be present) and has its own bound-ordered evaluator
         is_phrase = isinstance(ast, P.Phrase)
@@ -419,7 +428,9 @@ class SearchEngine:
                                   weights, default_fields, date_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m,
-                                          exclude=flat_not)
+                                          exclude=flat_not,
+                                          filters=flat[2],
+                                          phrases=flat[3])
             elif is_phrase:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:
@@ -581,7 +592,7 @@ class SearchEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         idf_map = self._idf_map(needed)
-        flat, flat_not = _flat_with_not(ast)
+        flat, flat_not = _flat_with_not(ast, self.field_weights)
         docs_root = os.path.join(self.index_dir, "docs")
 
         seg_rows = self._fetch_rows(set(needed))
@@ -617,7 +628,9 @@ class SearchEngine:
                                   self.date_fields)
             if flat is not None:
                 ids, sc = ev.top_m_pruned(flat[0], flat[1], m,
-                                          exclude=flat_not)
+                                          exclude=flat_not,
+                                          filters=flat[2],
+                                          phrases=flat[3])
             elif is_phrase:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:
@@ -688,6 +701,13 @@ class SearchEngine:
             )
             meta = {r["url"]: {f: r[f] for f in fields} for r in rows}
         return [{"url": u, "score": s, **meta.get(u, {})} for u, s in hits]
+
+    def metrics(self) -> dict:
+        """Snapshot of the serving metrics — the reference's /stats
+        sample (collectStats, Metrics.hs:75-78): per-operation request
+        count + latency distribution (mean/variance/sum/min/max and
+        p50/p95/p99 over the recent window)."""
+        return self._metrics.snapshot()
 
     @staticmethod
     def _project_row(sd, j: int, fields: tuple[str, ...]) -> dict:
@@ -762,7 +782,17 @@ class SearchEngine:
         carry scores, hayoo-server/src/Hayoo/App.hs:101-111):
         score(term) = Σ over fields of field_weight × df — the same
         weight folding the scorer applies, so completions rank like
-        the results they lead to."""
+        the results they lead to.
+
+        Counted under the ``completions`` metric (the reference's
+        mCompletions, App.hs:207-216); autocomplete_queries funnels
+        through here so one user completion = one count."""
+        with self._metrics.measure("completions"):
+            return self._autocomplete_unmetered(prefix, n, fields)
+
+    def _autocomplete_unmetered(self, prefix: str, n: int = 20,
+                                fields: tuple[str, ...] | None = None,
+                                ) -> list[tuple[str, float]]:
         search_fields = fields or self.default_fields
         if self._dict is not None:
             acc: dict[str, float] = {}

@@ -142,11 +142,12 @@ def parse_frontend(q: str) -> Node:
     if not branches:
         # the reference's defq: only when BOTH parsers produced nothing
         # (App.hs:155-164) — AND of the whitespace words, quotes
-        # stripped, plain no-case word semantics, no boost
+        # stripped, plain no-case (qWordNoCase) word semantics, no
+        # boost; lowercased to match the all-lowercase dictionary
         words = tuple(w.strip('"') for w in q.split())
         words = tuple(w for w in words if w)
         if words:
-            return And(tuple(Term(w) for w in words))
+            return And(tuple(Term(w.lower()) for w in words))
         return And(())
     return branches[0] if len(branches) == 1 else Or(branches)
 

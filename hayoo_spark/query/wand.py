@@ -390,36 +390,111 @@ class SegmentData:
     _avgdl: dict = {"text": 1.0}  # set by evaluator (field -> avgdl)
 
 
-def _flat_terms(node: P.Node):
-    """If node is a Term / flat Or-of-Terms / flat And-of-Terms on the
-    text field, return ('or'|'and', [(term, boost)]); else None."""
-    if isinstance(node, P.Term) and node.field == P.DEFAULT_FIELD:
-        return "or", [(node.term, node.boost)]
-    if isinstance(node, (P.Or, P.And)) and node.children:
-        kind = "or" if isinstance(node, P.Or) else "and"
-        leaves = []
-        for c in node.children:
-            if isinstance(c, P.Term) and c.field == P.DEFAULT_FIELD:
-                leaves.append((c.term, c.boost))
-            else:
-                return None
-        return kind, leaves
+def _leaf_class(node: P.Node, weights: dict):
+    """Classify one AST node for the pruned planner:
+
+    - ``('score', (field|None, term, boost))`` — a BM25-scoring leaf
+      (field None = unscoped, expands over the default field set);
+    - ``('filter', node)`` — a zero-score match restriction: lang:/url:
+      metadata, a range filter, a weight-0 context (the reference's
+      filter contexts, IndexSchema.hs:119), or an unknown field (whose
+      match set is empty — annihilates an AND exactly like evaluate());
+    - ``('phrase', node)`` — a positional leaf;
+    - None — not a leaf (nested boolean etc.)."""
+    if isinstance(node, P.Term):
+        if node.field == P.DEFAULT_FIELD:
+            return "score", (None, node.term, node.boost)
+        w = weights.get(node.field)
+        if w is not None and w > 0:
+            return "score", (node.field, node.term, node.boost)
+        return "filter", node
+    if isinstance(node, P.RangeFilter):
+        return "filter", node
+    if isinstance(node, P.Phrase):
+        return "phrase", node
     return None
 
 
-def _flat_with_not(node: P.Node):
+def _flat_terms(node: P.Node, weights: dict):
+    """Plan shape for the block-max pruned path.
+
+    -> ``(kind, leaves, filters, phrases)`` or None:
+
+    - ``('or', [(field|None, term, boost), ...], (), ())`` — a single
+      scoring term or a flat OR of scoring terms (field-scoped leaves
+      included — the per-field block-max metadata makes their bounds
+      admissible);
+    - ``('and', groups, filters, phrases)`` — a flat AND whose children
+      are scoring leaves, flat OR-of-scoring-leaves groups, pure
+      filters (inclusion sets) and/or phrases.  ``groups`` is a list of
+      leaf lists: doc set = union within a group, intersect across
+      groups (the evaluate() semantics).
+
+    Previously only unscoped text-term trees qualified; field-scoped
+    terms (``name:mapM``), filter-combined queries (``mapM AND
+    lang:en``), the canned drill-downs (``package:base AND
+    type:module``) and phrases under booleans all fell back to
+    exhaustive evaluation — linear in posting length, the one
+    scale-killer left in the query engine (VERDICT r4 #1)."""
+    c = _leaf_class(node, weights)
+    if c is not None:
+        if c[0] == "score":
+            return "or", [c[1]], (), ()
+        return None  # bare filter / bare phrase: other paths own these
+    if isinstance(node, P.Or) and node.children:
+        leaves = []
+        for ch in node.children:
+            cc = _leaf_class(ch, weights)
+            if cc is None or cc[0] != "score":
+                return None
+            leaves.append(cc[1])
+        return "or", leaves, (), ()
+    if isinstance(node, P.And) and node.children:
+        groups, filters, phrases = [], [], []
+        for ch in node.children:
+            cc = _leaf_class(ch, weights)
+            if cc is None:
+                if isinstance(ch, P.Or) and ch.children:
+                    sub = []
+                    for g in ch.children:
+                        gc = _leaf_class(g, weights)
+                        if gc is None or gc[0] != "score":
+                            return None
+                        sub.append(gc[1])
+                    groups.append(sub)
+                    continue
+                return None
+            if cc[0] == "score":
+                groups.append([cc[1]])
+            elif cc[0] == "filter":
+                filters.append(cc[1])
+            else:
+                phrases.append(cc[1])
+        if not groups and not phrases:
+            return None  # pure-filter AND: needs the sentinel path
+        return "and", groups, tuple(filters), tuple(phrases)
+    return None
+
+
+def _flat_with_not(node: P.Node, weights: dict):
     """-> (flat, exclude_node): a flat query, or AndNot whose LEFT is
     flat — the right side becomes the pruned path's exclusion set (an
     exhaustive evaluation of the heavy left side just to subtract a
     usually-small match set was the last unpruned query shape)."""
-    flat = _flat_terms(node)
+    flat = _flat_terms(node, weights)
     if flat is not None:
         return flat, None
     if isinstance(node, P.AndNot):
-        inner = _flat_terms(node.left)
+        inner = _flat_terms(node.left, weights)
         if inner is not None:
             return inner, node.right
     return None, None
+
+
+def _norm3(leaf):
+    """Accept legacy 2-tuple ``(term, boost)`` leaves (tests, older
+    callers) as unscoped 3-tuples."""
+    return (None, leaf[0], leaf[1]) if len(leaf) == 2 else tuple(leaf)
 
 
 def _union_sum(all_ids: list, all_sc: list):
@@ -547,11 +622,14 @@ class SegmentEvaluator:
         raise TypeError(f"unknown node {node!r}")
 
     def _eval_phrase(self, node: P.Phrase):
-        """Phrase over the default field set: adjacency is evaluated
-        WITHIN each field (a phrase cannot span fields); a doc's score
-        sums the weighted contributions of every field it matched in."""
+        """Phrase over its field set (default fields when unscoped, the
+        named field when scoped): adjacency is evaluated WITHIN each
+        field (a phrase cannot span fields); a doc's score sums the
+        weighted contributions of every field it matched in."""
         parts_ids, parts_sc = [], []
-        for f in self.default_fields:
+        fields = (self.default_fields if node.field == P.DEFAULT_FIELD
+                  else (node.field,) if node.field in self.weights else ())
+        for f in fields:
             ids, sc = self._eval_phrase_field(node, f)
             if ids.size:
                 parts_ids.append(ids)
@@ -693,16 +771,29 @@ class SegmentEvaluator:
         ok[ok] = sorted_ref[idx[ok]] == vals[ok]
         return ok
 
-    def top_m_pruned(self, kind: str, leaves: list[tuple[str, float]],
-                     m: int, exclude: "P.Node | None" = None):
-        """Exact top-m for flat OR/AND of unscoped terms using block
-        upper bounds.  Each term expands over the default field set
-        (BM25F), so a leaf becomes one posting list per (field, term).
+    def _leaf_fields(self, field: str | None) -> tuple[str, ...]:
+        """Fields one scoring leaf touches (None = default set)."""
+        if field is None:
+            return self.default_fields
+        return (field,) if field in self.weights else ()
+
+    def top_m_pruned(self, kind: str, leaves, m: int,
+                     exclude: "P.Node | None" = None,
+                     filters: tuple = (), phrases: tuple = ()):
+        """Exact top-m for flat term queries using block upper bounds.
+        Leaves are ``(field|None, term, boost)`` (legacy ``(term,
+        boost)`` accepted); None expands over the default field set
+        (BM25F), a named field scores that one field with its own
+        block-max metadata and avgdl.
 
         OR: elementary-interval pruning best-bound-first (block-max WAND
-        semantics, batch form).  AND: a doc matches a term if it occurs
-        in ANY default field — per-term field-union, intersect across
-        terms (already sublinear), then exact scoring.
+        semantics, batch form).  AND: ``leaves`` is a list of GROUPS
+        (doc set = union within a group, intersect across groups);
+        posting-id intersection first — no scoring, no position decode —
+        then exact scoring of the surviving intersection only.  Pure
+        filter branches (lang:/url:/range/weight-0 contexts) become an
+        INCLUSION set intersected before scoring; phrases verify
+        adjacency only on the already-intersected candidate set.
 
         ``exclude``: an optional AST whose MATCH SET is subtracted
         while pruning (the AND NOT right side): excluded docs never
@@ -711,44 +802,108 @@ class SegmentEvaluator:
         previously any AndNot fell back to exhaustive evaluation.
         """
         s = self.seg
+        empty = (np.zeros(0, np.int64), np.zeros(0))
         ex_ids = None
         if exclude is not None:
             ex_ids, _ = self.evaluate(exclude)
             if ex_ids.size == 0:
                 ex_ids = None
+        # inclusion set: filters match cheaply (doc-column masks or
+        # posting ids) and restrict everything downstream
+        inc = None
+        for fnode in filters:
+            fids, _ = self.evaluate(fnode)
+            inc = fids if inc is None else np.intersect1d(
+                inc, fids, assume_unique=True)
+            if inc.size == 0:
+                return empty
         if kind == "and":
-            ids = None
-            for t, _ in leaves:
-                f_ids = [s.postings(f, t)[0] for f in self.default_fields]
-                tids = (f_ids[0] if len(f_ids) == 1
-                        else np.unique(np.concatenate(f_ids)))
-                ids = tids if ids is None else np.intersect1d(
-                    ids, tids, assume_unique=True)
+            groups = [[_norm3(g)] if isinstance(g, tuple)
+                      else [_norm3(x) for x in g] for g in leaves]
+            ids = inc
+            for g in groups:
+                parts = []
+                for f, t, _ in g:
+                    for ff in self._leaf_fields(f):
+                        p = s.postings(ff, t)[0]
+                        if p.size:
+                            parts.append(p)
+                if not parts:
+                    return empty
+                gids = (parts[0] if len(parts) == 1
+                        else np.unique(np.concatenate(parts)))
+                ids = gids if ids is None else np.intersect1d(
+                    ids, gids, assume_unique=True)
                 if ids.size == 0:
-                    break
-            if ids is not None and ids.size and ex_ids is not None:
-                ids = np.setdiff1d(ids, ex_ids, assume_unique=True)
+                    return empty
+            # phrases: adjacency verified ONLY on the intersected
+            # candidate set (selective position decode), matching
+            # evaluate()'s per-field union semantics
+            ph_matched: list[tuple] = []
+            for ph in phrases:
+                per_field = []
+                for f in self._leaf_fields(
+                        None if ph.field == P.DEFAULT_FIELD else ph.field):
+                    cand = self._phrase_cand(ph.terms, f)
+                    if ids is not None and cand.size:
+                        cand = np.intersect1d(cand, ids, assume_unique=True)
+                    matched = self._phrase_match_docs(ph.terms, f, cand)
+                    if matched.size:
+                        per_field.append((f, matched))
+                if not per_field:
+                    return empty
+                u = (per_field[0][1] if len(per_field) == 1
+                     else np.unique(np.concatenate(
+                         [mm for _, mm in per_field])))
+                ids = u if ids is None else np.intersect1d(
+                    ids, u, assume_unique=True)
+                if ids.size == 0:
+                    return empty
+                ph_matched.append((ph, per_field))
             if ids is None or ids.size == 0:
-                return np.zeros(0, np.int64), np.zeros(0)
+                return empty
+            if ex_ids is not None:
+                ids = np.setdiff1d(ids, ex_ids, assume_unique=True)
+                if ids.size == 0:
+                    return empty
             sc = np.zeros(len(ids))
-            for t, boost in leaves:
-                for f in self.default_fields:
-                    tids, tsc = s.term_scores(f, t, self.idf.get((f, t), 0.0))
-                    _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
-                                               return_indices=True)
-                    sc[ia] += boost * self.weights[f] * tsc[ib]
+            for g in groups:
+                for f, t, boost in g:
+                    for ff in self._leaf_fields(f):
+                        tids, tsc = s.term_scores(
+                            ff, t, self.idf.get((ff, t), 0.0))
+                        _, ia, ib = np.intersect1d(
+                            ids, tids, assume_unique=True,
+                            return_indices=True)
+                        sc[ia] += boost * self.weights[ff] * tsc[ib]
+            for ph, per_field in ph_matched:
+                for f, matched in per_field:
+                    mm = np.intersect1d(ids, matched, assume_unique=True)
+                    if mm.size == 0:
+                        continue
+                    pos = np.searchsorted(ids, mm)
+                    for t in ph.terms:
+                        tids, tsc = s.term_scores(
+                            f, t, self.idf.get((f, t), 0.0))
+                        _, ia, ib = np.intersect1d(
+                            mm, tids, assume_unique=True,
+                            return_indices=True)
+                        sc[pos[ia]] += ph.boost * self.weights[f] * tsc[ib]
             return self._cut(ids, sc, m)
 
         # fielded leaves: (field, term, effective boost)
-        fl = [(f, t, b * self.weights[f])
-              for t, b in leaves for f in self.default_fields]
+        leaves3 = [_norm3(l) for l in leaves]
+        fl = [(ff, t, b * self.weights[ff])
+              for f, t, b in leaves3 for ff in self._leaf_fields(f)]
 
         # many-list ORs (prefix expansions): interval pruning costs
         # O(intervals × lists) of small python-numpy calls and the summed
         # bound is too loose to prune anyway — the one-pass vectorized
         # union (concat -> unique -> bincount) wins outright
         if len(fl) > 8:
-            node = P.Or(tuple(P.Term(t, boost=b) for t, b in leaves))
+            node = P.Or(tuple(
+                P.Term(t, field=(f if f is not None else P.DEFAULT_FIELD),
+                       boost=b) for f, t, b in leaves3))
             ids, sc = self.evaluate(node)
             if ex_ids is not None and ids.size:
                 keep = ~self._member_of(ids, ex_ids)

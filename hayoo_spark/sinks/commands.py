@@ -259,7 +259,8 @@ def write_command_stream(path: str, pages: DataFrame,
                          deletes: DataFrame | None = None,
                          delete_context: str = "package",
                          weights: DataFrame | None = None,
-                         batch: int | None = None) -> None:
+                         batch: int | None = None,
+                         regexps: dict[str, str] | None = None) -> None:
     """The full replayable stream, phase-ordered by directory name so
     lexicographic replay IS the reference's cmdSequence order
     (delete-before-insert upsert, FctIndexerCore.hs:169-183; weight
@@ -275,7 +276,7 @@ def write_command_stream(path: str, pages: DataFrame,
     instead of one command per line."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "00-schema.json"), "w") as fh:
-        json.dump(schema_commands(fields), fh, indent=2)
+        json.dump(schema_commands(fields, regexps), fh, indent=2)
 
     def _write(df: DataFrame, sub: str) -> None:
         if batch:

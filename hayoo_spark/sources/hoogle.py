@@ -161,6 +161,17 @@ def _parse_data(rest: str) -> str | None:
     return None
 
 
+
+def _drop_hash(name: str) -> str:
+    """ident' parses a trailing magic-hash but DROPS it from the
+    returned name (ParseHoogle.hs ident': returns c:cs without the
+    '#'), so ``foo# :: ...`` indexes as ``foo`` with anchor #v:foo.
+    Operators (``##``) and tuple ops keep theirs — they are not idents."""
+    if name.endswith("#") and re.match(r"[^\W\d]", name):
+        return name[:-1]
+    return name
+
+
 def classify_line(line: str):
     """-> (kind, payload) mirroring ``anyLine``'s alternative order
     (ParseHoogle.hs:191-207); None for a parse failure (the reference
@@ -183,34 +194,34 @@ def classify_line(line: str):
         return ("version", m.group(1))
     m = _RE_TYPE.match(s)
     if m:
-        return ("type", (m.group("name"), m.group("sig")))
+        return ("type", (_drop_hash(m.group("name")), m.group("sig")))
     if s.startswith("data") and not s.startswith("dataType["):
         name = _parse_data(s[4:])
         if name is not None:
-            return ("data", name)
+            return ("data", _drop_hash(name))
     m = _RE_MODULE.match(s)
     if m:
         return ("module", m.group(1))
     m = _RE_NEWTYPE.match(s)
     if m:
-        return ("newtype", m.group("name"))
+        return ("newtype", _drop_hash(m.group("name")))
     m = _RE_FUNCTION.match(s)
     if m:
-        return ("function", (m.group("name"), m.group("sig")))
+        return ("function", (_drop_hash(m.group("name")), m.group("sig")))
     m = _RE_MULTI.match(s)
     if m:
         names = [n.strip() for n in
                  m.group("names").strip("()").split(",")]
-        return ("multi", ([n for n in names if n], m.group("sig")))
+        return ("multi", ([_drop_hash(n) for n in names if n], m.group("sig")))
     m = _RE_BRACKET.match(s)
     if m:
         return ("bracket", m.group("sig"))
     m = _RE_DATATYPE.match(s)
     if m:
-        return ("datatype", m.group("name"))
+        return ("datatype", _drop_hash(m.group("name")))
     m = _RE_CONSTR.match(s)
     if m:
-        return ("constr", m.group("name"))
+        return ("constr", _drop_hash(m.group("name")))
     if not s.strip():
         return ("blank", "")
     return None

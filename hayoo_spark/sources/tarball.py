@@ -43,6 +43,19 @@ ENTRY_SCHEMA = ("archive string, entry string, mtime long, "
 MAX_ARCHIVE_BYTES = 1 << 30  # 1 GiB
 
 
+def utf8_lenient(col) -> "F.Column":
+    """Lenient UTF-8 decode of a binary column, JVM-side.
+
+    ``F.decode(c, 'UTF-8')`` raises MALFORMED_CHARACTER_CODING under
+    Spark 4's default ANSI mode, so one bad member (hoogle export
+    preambles are not guaranteed well-formed UTF-8 — the reference
+    skips such lines rather than failing, ParseHoogle.hs) would abort
+    the whole job.  A binary→string cast goes through UTF8String,
+    which substitutes U+FFFD for invalid sequences and stays inside
+    whole-stage codegen."""
+    return (F.col(col) if isinstance(col, str) else col).cast("string")
+
+
 def read_tar_entries(spark: SparkSession, path: str,
                      pattern: str | None = None,
                      binary_glob: str = "*.tar",
@@ -103,4 +116,4 @@ def read_tar_pages(spark: SparkSession, path: str,
                    F.element_at(F.split("archive", "/"), -1),
                    F.lit("/"), F.col("entry"))
     return ent.select(url.alias("url"),
-                      F.decode("payload", "UTF-8").alias("html"))
+                      utf8_lenient("payload").alias("html"))

@@ -136,6 +136,12 @@ def test_concurrent_searches_are_consistent(engine, oracle_ix):
     def run(q):
         return q, engine.search(q, k=10)
 
+    before = engine.metrics()["searches"]["count"]
     with ThreadPoolExecutor(max_workers=8) as ex:
         for q, got in ex.map(run, qs * 3):
             assert got == expected[q], q
+    # serving metrics must count every search exactly once under
+    # concurrency (EKG analogue, Metrics.hs:43-78) and record latencies
+    m = engine.metrics()["searches"]
+    assert m["count"] == before + len(qs) * 3
+    assert m["max"] >= m["p50"] >= 0.0 and m["sum"] > 0.0

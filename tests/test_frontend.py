@@ -18,9 +18,10 @@ def test_frontend_std_branch_only_when_parse_succeeds():
 
 def test_frontend_degrades_on_parse_error():
     # unbalanced paren: std drops, defq = AND of whitespace words
-    # (quotes stripped, no boost — App.hs:159-163)
+    # (quotes stripped, no boost, LOWERCASED like qWordNoCase against
+    # the all-lowercase dictionary — App.hs:159-163; ADVICE r4)
     ast = parse_frontend("baba AND (")
-    assert ast == P.And((P.Term("baba"), P.Term("AND"), P.Term("(")))
+    assert ast == P.And((P.Term("baba"), P.Term("and"), P.Term("(")))
     ast = parse_frontend('"ba ( ba"')
     # quoted phrase parses as std; defq never fires
     assert ast == parse('"ba ( ba"')
@@ -29,7 +30,7 @@ def test_frontend_degrades_on_parse_error():
 
 def test_frontend_defq_strips_quotes():
     ast = parse_frontend('"baba" AND (')
-    assert ast == P.And((P.Term("baba"), P.Term("AND"), P.Term("(")))
+    assert ast == P.And((P.Term("baba"), P.Term("and"), P.Term("(")))
 
 
 QUERIES = [

@@ -186,3 +186,21 @@ def test_hoogle_export_to_signature_search(spark, tmp_path):
         assert hits, mode
         top = hits[0][0]
         assert top.endswith("#v:map"), (mode, hits)
+
+
+def test_magic_hash_dropped_from_ident_names():
+    """ident' parses the trailing '#' but drops it (ParseHoogle.hs),
+    so GHC magic-hash names index clean and the Haddock anchor is
+    #v:foo, not a '-35-'-escaped one (ADVICE r4)."""
+    assert H.classify_line("foo# :: Int# -> Int#") == (
+        "function", ("foo", "Int# -> Int#"))
+    assert H.classify_line("data Int#") == ("data", "Int")
+    assert H.classify_line("newtype Wrap# a") == ("newtype", "Wrap")
+    assert H.classify_line("type T# = Int") == ("type", ("T", "Int"))
+    # operators keep their hashes — they are not idents
+    assert H.classify_line("(##) :: a -> b") == ("multi", (["##"], "a -> b"))
+    rows = list(H.fold_file("f", [
+        (0, "@package p"), (1, "module M"), (2, "foo# :: Int#")]))
+    fn = [r for r in rows if r[5] == "function"]
+    assert fn and fn[0][4] == "foo"
+    assert fn[0][8].endswith("#v:foo")

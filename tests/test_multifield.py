@@ -39,6 +39,15 @@ QUERIES = [
     "url_terms:exam*", "url_terms:edge OR bibaba",
     # boosts & paging interplay
     "title:baba^2 OR bibaba", "baba^0.5 AND bibaba",
+    # r5: shapes newly routed through the block-max pruned path —
+    # phrase under a boolean, paren OR-groups under AND, scoped
+    # scoring term × filter drill-downs (VERDICT r4 #1)
+    '"baba baba" AND bibaba', 'tag:alpha AND "baba baba"',
+    "(bibaba OR nibaba) AND tag:alpha",
+    "title:baba AND tag:alpha", "nibaba AND title:baba",
+    "(baba OR bibaba) AND nibaba",
+    "tag:alpha AND baba AND NOT nibaba",
+    'title:baba AND "baba baba"^2',
 ]
 
 

@@ -104,3 +104,25 @@ def test_robots_filter_broadcasts(spark):
         [("a.org", "User-agent: *\nDisallow: /p/\n")],
         "host string, robots_txt string")
     assert "BroadcastHashJoin" in _plan(robots_filter(frontier, robots))
+
+
+def test_clean_corpus_drop_set_not_broadcast(spark):
+    """The non-keeper anti-join must be a plain shuffle join: real web
+    corpora drop 30-50% of docs to near-dup removal, so broadcasting
+    the drop set is a driver OOM at scale (VERDICT r4 #3).  AQE may
+    still downgrade it at runtime from measured sizes — the static
+    plan just must not FORCE a broadcast via hint."""
+    from hayoo_spark.ops import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again "
+             "and again with plenty of perfectly normal filler text")
+         for i in range(8)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    out = textstats.clean_corpus(docs, dedup_pairs=pairs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the ResolvedHint/broadcast marker would appear in the optimized
+    # logical plan if F.broadcast() were still applied to the drop set
+    assert "LeftAnti" in plan
+    joins = [ln for ln in plan.splitlines() if "Join LeftAnti" in ln]
+    assert joins and all("broadcast" not in ln.lower() for ln in joins), joins

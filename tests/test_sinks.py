@@ -204,3 +204,29 @@ def test_write_command_stream_phases_and_batches(spark, tmp_path):
         with open(p) as fh:
             dels += [json.loads(ln) for ln in fh if ln.strip()]
     assert dels[0][0]["cmd"] == "delete-by-query"
+
+
+def test_command_stream_carries_per_context_regexps(spark, tmp_path):
+    """index_hackage's stream must ship the reference's per-context
+    regexps in 00-schema.json, not the '\\w*' default (ADVICE r4)."""
+    import json
+
+    from hayoo_spark.index.fields import HAYOO_FIELDS
+    from hayoo_spark.sinks.commands import HAYOO_REGEXPS, write_command_stream
+
+    pages = spark.createDataFrame(
+        [("u://1", "t", "p", "m", "n", "f", "s", "", "", "", "", "", "", "")],
+        "url string, text string, package string, module string, "
+        "name string, fct_type string, signature string, version string, "
+        "synopsis string, author string, category string, "
+        "maintainer string, dependencies string, source string")
+    out = tmp_path / "cmds"
+    write_command_stream(str(out), pages, fields=HAYOO_FIELDS,
+                         regexps=HAYOO_REGEXPS)
+    schema = json.loads((out / "00-schema.json").read_text())
+    by_ctx = {c["context"]: c["schema"]["regexp"] for c in schema}
+    assert by_ctx["module"] == HAYOO_REGEXPS["module"]
+    assert by_ctx["module"] != r"\w*"
+    for ctx, rx in HAYOO_REGEXPS.items():
+        if ctx in by_ctx:
+            assert by_ctx[ctx] == rx, ctx

@@ -90,3 +90,23 @@ def test_tar_pages_feed_index_build(spark, tmp_path):
     assert hits == ["tar://docs.tar/one.html"]
     both = {u for u, _ in eng.search("otter", k=5)}
     assert both == {"tar://docs.tar/one.html", "tar://docs.tar/two.html"}
+
+
+def test_invalid_utf8_member_does_not_fail_decode(spark, tmp_path):
+    """ANSI-mode F.decode raises MALFORMED_CHARACTER_CODING on one bad
+    byte; the lenient binary->string cast must survive it (hoogle
+    export preambles may be malformed UTF-8 — ADVICE r4).  One bad
+    member must not fail the whole pipeline."""
+    from hayoo_spark.pipeline import entries_to_lines
+    from hayoo_spark.sources.tarball import read_tar_entries
+
+    _write_tar(tmp_path / "x.tar", [
+        ("good.txt", b"@package p\nmodule M\n"),
+        ("bad.txt", b"pre\xff\xfeamble\n@package q\n"),
+    ])
+    lines = entries_to_lines(
+        read_tar_entries(spark, str(tmp_path), pattern="*.txt"))
+    rows = lines.collect()  # must not raise
+    texts = {r["text"] for r in rows}
+    assert "@package p" in texts and "@package q" in texts
+    assert any("�" in t for t in texts)  # replacement, not loss

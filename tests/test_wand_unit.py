@@ -32,8 +32,11 @@ def make_segment(seed=7, n_docs=5000, terms=("alpha", "beta", "gamma", "delta"))
             sids, stfs = ids[m], tfs[m]
             ids_vb = codec.varbyte_encode(codec.delta_encode(sids.astype(np.uint64)))
             tfs_vb = codec.varbyte_encode(stfs.astype(np.uint64))
+            # stagger positions by term index so cross-term phrases
+            # ("alpha beta") actually match adjacency in some docs
             pos_vb = codec.encode_positions(
-                [np.arange(tf, dtype=np.uint64) * 3 for tf in stfs])
+                [np.arange(tf, dtype=np.uint64) * 3 + (ti % 3)
+                 for tf in stfs])
             blast, bub = codec.block_maxes(sids, stfs, dls[sids], avgdl, 64)
             rows.append({
                 "segment": 0, "term": t, "salt": s, "df": len(sids),
@@ -95,3 +98,97 @@ def test_salted_merge_matches_single_list():
     for b in range(len(bub)):
         s, e = b * bs, min((b + 1) * bs, len(ids))
         assert np.isclose(bub[b], norms[s:e].max())
+
+# ---- r5: scoped / filter-combined / phrase-under-boolean shapes ----
+# (VERDICT r4 #1: these previously fell back to exhaustive evaluation)
+
+def test_pruned_scoped_term_equals_exhaustive():
+    ev, terms = make_segment()
+    for m in (1, 10, 5000):
+        pi, ps = ev.top_m_pruned("or", [("text", terms[0], 1.0)], m)
+        ei, es = _topm_exhaustive(ev, P.Term(terms[0], field="text"), m)
+        assert np.array_equal(pi, ei)
+        assert np.allclose(ps, es)
+
+
+def test_pruned_and_with_lang_filter():
+    ev, terms = make_segment()
+    node = P.And((P.Term(terms[0]), P.Term("en", field="lang")))
+    pi, ps = ev.top_m_pruned(
+        "and", [(terms[0], 1.0)], 50,
+        filters=(P.Term("en", field="lang"),))
+    ei, es = _topm_exhaustive(ev, node, 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+    assert len(pi) > 0
+
+
+def test_pruned_and_with_phrase():
+    ev, terms = make_segment()
+    ph = P.Phrase((terms[0], terms[1]))  # staggered positions -> matches
+    node = P.And((P.Term(terms[2]), ph))
+    pi, ps = ev.top_m_pruned("and", [(terms[2], 1.0)], 50, phrases=(ph,))
+    ei, es = _topm_exhaustive(ev, node, 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+    assert len(pi) > 0, "fixture should produce phrase-AND matches"
+
+
+def test_pruned_and_with_or_group():
+    ev, terms = make_segment()
+    node = P.And((P.Or((P.Term(terms[0]), P.Term(terms[1]))),
+                  P.Term(terms[2])))
+    groups = [[(None, terms[0], 1.0), (None, terms[1], 1.0)],
+              [(None, terms[2], 1.0)]]
+    pi, ps = ev.top_m_pruned("and", groups, 50)
+    ei, es = _topm_exhaustive(ev, node, 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+
+
+def test_pruned_and_filter_phrase_exclude():
+    """All the new machinery at once: filter inclusion + phrase
+    verification + AndNot exclusion on one AND."""
+    ev, terms = make_segment()
+    ph = P.Phrase((terms[0], terms[1]))
+    inner = P.And((P.Term(terms[0]), P.Term("en", field="lang"), ph))
+    node = P.AndNot(inner, P.Term(terms[3]))
+    pi, ps = ev.top_m_pruned(
+        "and", [(terms[0], 1.0)], 50,
+        exclude=P.Term(terms[3]),
+        filters=(P.Term("en", field="lang"),), phrases=(ph,))
+    ei, es = _topm_exhaustive(ev, node, 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+
+
+def test_flat_detector_shapes():
+    from hayoo_spark.query.wand import _flat_terms, _flat_with_not
+    W = {"text": 1.0, "title": 2.0, "tag": 0.0}
+    # scoped scoring term qualifies now
+    k, l, f, p = _flat_terms(P.Term("x", field="title"), W)
+    assert k == "or" and l == [("title", "x", 1.0)]
+    # weight-0 / lang / unknown-field terms are filters inside AND
+    k, l, f, p = _flat_terms(
+        P.And((P.Term("x"), P.Term("a", field="tag"),
+               P.Term("en", field="lang"),
+               P.RangeFilter("warc_ts", "2024-01", "2024-02"))), W)
+    assert k == "and" and len(l) == 1 and len(f) == 3 and p == ()
+    # pure-filter AND stays on the sentinel/exhaustive path
+    assert _flat_terms(P.And((P.Term("en", field="lang"),)), W) is None
+    # phrase under AND is flat; bare phrase is not (top_m_phrase owns it)
+    k, l, f, p = _flat_terms(P.And((P.Term("x"), P.Phrase(("a", "b")))), W)
+    assert k == "and" and len(p) == 1
+    assert _flat_terms(P.Phrase(("a", "b")), W) is None
+    # nested OR of scoring leaves becomes one AND group
+    k, l, f, p = _flat_terms(
+        P.And((P.Or((P.Term("a"), P.Term("b", field="title"))),
+               P.Term("c"))), W)
+    assert k == "and" and len(l) == 2 and len(l[0]) == 2
+    # OR with a filter child is NOT flat (zero-score union semantics)
+    assert _flat_terms(P.Or((P.Term("a"), P.Term("en", field="lang"))), W) is None
+    # AndNot: flat left + exclusion right
+    flat, ex = _flat_with_not(
+        P.AndNot(P.And((P.Term("a"), P.Term("en", field="lang"))),
+                 P.Term("b")), W)
+    assert flat is not None and ex == P.Term("b")
