@@ -223,7 +223,8 @@ def field_tokens_col(f: FieldSpec):
 def prepare_docs(pages: DataFrame, n_segments: int,
                  parallelism: int | None = None,
                  fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
-                 drop_empty: bool = False) -> DataFrame:
+                 drop_empty: bool = False,
+                 store_cols: tuple[str, ...] = ()) -> DataFrame:
     """pages -> deduped, segmented, extracted, tokenized docs.
 
     - first-wins dedup by url (newHayooIndexer/src/MainHoogle.hs:124-133):
@@ -267,6 +268,9 @@ def prepare_docs(pages: DataFrame, n_segments: int,
     # largest single memory-bandwidth cost in the N-vs-4N profile —
     # extraction/tokenization stay fused with the parquet scan instead
     keep = ["url", "warc_ts", "lang", "boost", "ord", "segment"]
+    # caller-declared stored doc columns (e.g. the re-export merge's
+    # alt_uris/alt_modules) ride into the doc store for projection
+    keep += [c for c in store_cols if c not in keep]
     for f in fields:
         if f.ftype == "date":
             # date context (IndexSchema.hs:111): store the source
@@ -461,6 +465,7 @@ def build_index(
     fields: tuple[FieldSpec, ...] = DEFAULT_FIELDS,
     drop_empty: bool = False,
     split_sections: bool = False,
+    store_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build (or resume) the index.  Returns build metrics.
 
@@ -508,7 +513,7 @@ def build_index(
     # spark.sql.files.maxPartitionBytes small enough locally); an
     # explicit repartition would pay an extra full exchange of raw html
     docs = prepare_docs(pages, n_segments, fields=fields,
-                        drop_empty=drop_empty) \
+                        drop_empty=drop_empty, store_cols=store_cols) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase_t: dict[str, float] = {}
@@ -692,6 +697,9 @@ def _write_docs(seg_docs, index_dir, fields, phase_t,
         [f"dl_{f.name}" for f in fields if f.ftype != "date"] + \
         [f.name for f in fields
          if f.ftype == "date" and f.name != "warc_ts"]
+    # stored extra columns (prepare_docs store_cols) persist alongside
+    doc_cols += [c for c in seg_docs.columns
+                 if c not in doc_cols and not c.startswith("tokens_")]
     df = seg_docs.select(*doc_cols)
     obs = None
     if observe_stats:

@@ -80,6 +80,43 @@ def package_rank(packages: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("node").alias("package"), "rank")
 
 
+def merge_reexports(decls: DataFrame) -> DataFrame:
+    """Gen-1 re-export merge (FctIndexerCore.hs:196-244, toDup/
+    lookupDup :276-297): ``function`` declarations whose identity hash
+    collides — name + signature + package + description, the module
+    deliberately EXCLUDED (ApiDocument.hs:76-81: ``hash64Add [sig, pac,
+    sou, fct, typ]`` skips ``_mon``) — are the same function re-exported
+    from several modules.  Keep only the lexicographically-first URI
+    (``uri == k`` after L.sort) and attach ALL the URIs and their
+    module names to the kept row (``addListOfUris``/``addListOfModules``,
+    the d'uris / d'module description entries), so a merged result can
+    show its other homes.  Non-function rows pass through untouched.
+
+    One hash-partitioned window over the identity key — no driver
+    state, no broadcast; collect_list is bounded by re-export fan-out
+    (tens, not millions)."""
+    key = ["name", "signature", "package", "description"]
+    is_f = F.col("fct_type") == "function"
+    w = Window.partitionBy(*key).orderBy("doc_uri")
+    wall = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    arr = "array<string>"
+    fct = (decls.filter(is_f)
+           .withColumn("_rn", F.row_number().over(w))
+           .withColumn("_uris", F.collect_list("doc_uri").over(wall))
+           .withColumn("_mods", F.collect_list("module").over(wall))
+           .filter(F.col("_rn") == 1)
+           .withColumn("alt_uris", F.when(
+               F.size("_uris") > 1, F.col("_uris")).cast(arr))
+           .withColumn("alt_modules", F.when(
+               F.size("_mods") > 1, F.col("_mods")).cast(arr))
+           .drop("_rn", "_uris", "_mods"))
+    rest = (decls.filter(~is_f)
+            .withColumn("alt_uris", F.lit(None).cast(arr))
+            .withColumn("alt_modules", F.lit(None).cast(arr)))
+    return fct.unionByName(rest)
+
+
 def decl_corpus(decls: DataFrame, packages: DataFrame,
                 ranks: DataFrame | None = None,
                 indexed_ts=None) -> DataFrame:
@@ -100,6 +137,8 @@ def decl_corpus(decls: DataFrame, packages: DataFrame,
             .drop("rank")
     ts = F.lit(indexed_ts).cast("timestamp") if indexed_ts is not None \
         else F.lit(None).cast("timestamp")
+    # re-export merge enrichment rides along when present
+    extra = [c for c in ("alt_uris", "alt_modules") if c in decls.columns]
     out = df.select(
         F.col("doc_uri").alias("url"),
         F.concat_ws("\n", "name", "description").alias("text"),
@@ -109,7 +148,8 @@ def decl_corpus(decls: DataFrame, packages: DataFrame,
                     "maintainer", "dependencies")],
         F.lit("").alias("source"),
         ts.alias("upload_ts"), ts.alias("indexed_ts"),
-        *([F.col("boost")] if ranks is not None else []))
+        *([F.col("boost")] if ranks is not None else []),
+        *extra)
     # signature fixup before the parser-backed contexts
     # (fixupSignature, ProcessLine.hs:36-44)
     return out.withColumn("signature", F.regexp_replace(
@@ -136,14 +176,16 @@ def index_hackage(spark: SparkSession, hoogle_tar_dir: str,
     ranks = package_rank(packages, edges)
 
     hg = read_tar_entries(spark, hoogle_tar_dir, pattern="*.txt")
-    decls = parse_hoogle_decls(entries_to_lines(hg))
+    decls = merge_reexports(parse_hoogle_decls(entries_to_lines(hg)))
 
     corpus = decl_corpus(decls, packages, ranks, indexed_ts)
     src = index_dir.rstrip("/") + ".corpus"
     corpus.write.mode("overwrite").parquet(src)
     metrics = build_index(spark, src, index_dir,
                           n_segments=n_segments,
-                          fields=HAYOO_FIELDS, **build_kwargs)
+                          fields=HAYOO_FIELDS,
+                          store_cols=("alt_uris", "alt_modules"),
+                          **build_kwargs)
     if commands_dir is not None:
         from .sinks.commands import HAYOO_REGEXPS, write_command_stream
         pages = spark.read.parquet(src)

@@ -721,6 +721,13 @@ class SearchEngine:
                 out[f] = float(sd.boost[j])
             elif f.startswith("dl_") and f[3:] in sd.dls:
                 out[f] = int(sd.dls[f[3:]][j])
+            elif f in sd.extra:
+                # declared stored columns (build_index store_cols),
+                # e.g. the re-export merge's alt_uris/alt_modules
+                v = sd.extra[f][j]
+                out[f] = (list(v) if v is not None
+                          and not isinstance(v, str)
+                          and hasattr(v, "__len__") else v)
             else:
                 raise KeyError(f"unknown stored field {f!r}")
         return out

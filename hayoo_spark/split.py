@@ -121,8 +121,119 @@ _SRC_RE = re.compile(r'(?is)<p[^>]*class="src"[^>]*>(.*?)</p>')
 _TAG_RE = re.compile(r"<[^>]*>")
 
 
+#: Haddock 2.6 (table-layout) declaration rows: class "decl" after the
+#: reference's topdeclToDecl rewrite (Haddock.hs:456-470); pages are
+#: probed per row like prepareHaddock's 2.8-orElse-2.6 dispatch
+_TR26_SPLIT_RE = re.compile(r'(?i)(?=<tr[^>]*class="(?:top)?decl")')
+_TR26_ID_RE = re.compile(r'(?i)^<tr[^>]*\bid="([^"]*)"')
+_TD26_DECL_RE = re.compile(r'(?is)<td[^>]*class="decl[^"]*"[^>]*>(.*?)</td>')
+_TR26_PROBE = re.compile(r'(?i)<tr[^>]*class="(?:top)?decl"')
+_TOP_PROBE = re.compile(r'(?i)<div\s+class="top"')
+
+
 def split_decl_docs_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Declaration-item splitter — the Haddock dialect proper
+    """Declaration-item splitter with the reference's dialect dispatch
+    (prepareHaddock, Haddock.hs:113-124: try 2.8, orElse 2.6, orElse
+    passthrough): pages carrying 2.8's ``<div class="top">`` items take
+    the 2.8 parser; table-layout pages whose declarations are
+    ``<tr class="decl" id=...>`` rows take the 2.6 parser
+    (mkVirtualDoc26, Haddock.hs:493-578); anything else passes through
+    untouched.  Output = input schema + ``signature``, original page
+    order preserved."""
+    if not len(pdf):
+        out = pdf.copy()
+        out["signature"] = pd.Series([], dtype=object)
+        return out
+    pdf = pdf.reset_index(drop=True)
+    html = pdf["html"].map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray)) else b)
+    probe26 = (html.str.contains(_TR26_PROBE, regex=True)
+               & ~html.str.contains(_TOP_PROBE, regex=True))
+    if not probe26.any():
+        return _split_decl28_pdf(pdf)
+    work = pdf.copy()
+    work["_orig"] = work.index
+    outs = []
+    sub28 = work[~probe26]
+    if len(sub28):
+        outs.append(_split_decl28_pdf(sub28.reset_index(drop=True)))
+    sub26 = work[probe26]
+    if len(sub26):
+        outs.append(_split_decl26_pdf(sub26.reset_index(drop=True)))
+    res = pd.concat(outs, ignore_index=True)
+    res = res.sort_values("_orig", kind="mergesort").drop(columns="_orig")
+    return res.reset_index(drop=True)
+
+
+def _split_decl26_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The 2.6 table-dialect parser (mkVirtualDoc26, Haddock.hs:493-578):
+    each ``<tr class="decl" id=NAME>`` row (description rows until the
+    next decl ride along) becomes a virtual doc with
+
+    - title = the URI-unescaped ``id`` (theTitle >>> unEscapeString),
+    - url = page url + ``#t:``/``#v:`` + title (theLinkPrefix: ``#t:``
+      iff the signature's first word is data/type/newtype),
+    - ``signature`` = the ``td class="decl"`` text after ``::``."""
+    from urllib.parse import unquote
+
+    pdf = pdf.reset_index(drop=True)
+    html = pdf["html"].map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray)) else b)
+    body = html.str.extract(_BODY_RE, expand=False)
+    title = html.str.extract(_TITLE_RE, expand=False).fillna("")
+    parts = body.str.split(_TR26_SPLIT_RE)
+    plain = body.isna() | (parts.str.len() <= 1)
+
+    out = pd.DataFrame({
+        "_part": parts.where(~plain, html.map(lambda h: [h])),
+        "_title": title,
+    }, index=pdf.index).explode("_part")
+    out["_sec"] = out.groupby(level=0).cumcount()
+    src = pdf.loc[out.index]
+    plain_r = plain.loc[out.index].to_numpy()
+    is_sec = (out["_sec"] > 0) & ~plain_r
+
+    import html as _html
+    unesc = lambda x: unquote(x) if isinstance(x, str) else x  # noqa: E731
+    hunesc = lambda x: _html.unescape(x) if isinstance(x, str) else x  # noqa: E731
+    name = (out["_part"].str.extract(_TR26_ID_RE, expand=False)
+            .fillna("").map(unesc))
+    decl_txt = (out["_part"].str.extract(_TD26_DECL_RE, expand=False)
+                .fillna("")
+                .str.replace(_TAG_RE, " ", regex=True)
+                .str.split().str.join(" ").map(hunesc))
+    first = decl_txt.str.split().str[0].fillna("")
+    prefix = first.isin(["data", "type", "newtype"]).map(
+        lambda t: "#t:" if t else "#v:")
+    sig = decl_txt.str.partition("::")[2].str.strip()
+
+    vtitle = name.where(is_sec, out["_title"]).fillna("")
+    new_html = ("<html><head><title>" + vtitle
+                + "</title></head><body>" + out["_part"]
+                + "</body></html>")
+    new_url = src["url"].where(~is_sec, src["url"] + prefix + name)
+
+    res = src.copy()
+    res["url"] = new_url.to_numpy(object)
+    res["html"] = [
+        (h if isinstance(h, (bytes, bytearray)) else str(h).encode("utf-8"))
+        if pl else n.encode("utf-8")
+        for pl, h, n in zip(plain_r, src["html"], new_html)]
+    if "text" in res.columns:
+        from .analysis import extract_text_series
+        new_text = extract_text_series(
+            pd.Series(new_html.to_numpy(object)))
+        res["text"] = [
+            t if pl else nt
+            for pl, t, nt in zip(plain_r, src["text"], new_text)]
+    res["signature"] = sig.where(is_sec, "").fillna("").to_numpy(object)
+    return res.reset_index(drop=True)
+
+
+def _split_decl28_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The 2.8 div-item parser
     (hayooIndexer/src/Hayoo/Haddock.hs:156-260 mkVirtualDoc28): cut the
     page at ``<div class="top">`` declaration items; each item becomes
     a virtual doc with

@@ -45,7 +45,12 @@ HOOGLES = {
              b"-- | Apply a function to every element.\n"
              b"mapx :: (a -> b) -> [a] -> [b]\n"
              b"data Scenario\n"),
+    # idx is re-exported from two modules: same name/signature/
+    # description/package -> the gen-1 re-export merge must keep ONE
+    # doc (first URI) carrying both homes (FctIndexerCore.hs:196-244)
     "base": (b"@package base\nmodule Prelude\n"
+             b"idx :: a -> a\n"
+             b"module Data.Function\n"
              b"idx :: a -> a\n"),
     "webby": (b"@package webby\nmodule Webby\n"
               b"serve :: Int -> IO ()\n"),
@@ -134,3 +139,33 @@ def test_pipeline_command_stream(hackage):
             ups += [json.loads(ln) for ln in fh if ln.strip()]
     assert all(u["cmd"] == "update" for u in ups)
     assert any(u["document"]["weight"] > 1.0 for u in ups)
+
+
+def test_reexport_merge_alt_uris(hackage, spark):
+    """A merged re-export keeps one doc (lexicographically-first URI)
+    and surfaces every home via search_docs projection — the gen-1
+    addListOfUris/addListOfModules enrichment."""
+    from hayoo_spark.query.engine import SearchEngine
+
+    d, ix, _, _ = hackage
+    corpus = spark.read.parquet(str(d / "ix.corpus"))
+    idx_rows = [r for r in corpus.collect() if r["name"] == "idx"]
+    assert len(idx_rows) == 1  # merged, not two docs
+    keeper = idx_rows[0]
+    assert "Data-Function" in keeper["url"]  # first URI sorted wins
+    assert sorted(keeper["alt_modules"]) == ["Data.Function", "Prelude"]
+    assert len(keeper["alt_uris"]) == 2
+    assert any(u.endswith("Prelude.html#v:idx")
+               for u in keeper["alt_uris"])
+    # un-merged docs carry no alternates
+    mapx = next(r for r in corpus.collect() if r["name"] == "mapx")
+    assert mapx["alt_uris"] is None
+
+    eng = SearchEngine(spark, ix)
+    for mode in ("local", "spark"):
+        docs = eng.search_docs("name:idx", k=5, mode=mode,
+                               fields=("alt_uris", "alt_modules"))
+        assert docs, mode
+        hit = docs[0]
+        assert sorted(hit["alt_modules"]) == ["Data.Function", "Prelude"]
+        assert len(hit["alt_uris"]) == 2

@@ -177,3 +177,76 @@ def test_split_persisted_for_resume(spark, sect_pages, tmp_path_factory):
     assert bool(stats["split_sections"])
     eng = SearchEngine(spark, ix)
     assert eng.search("only0x0", k=2)[0][0].endswith("#sec0")
+
+
+# Haddock 2.6 (table-layout) dialect — old-corpus pages
+# (Haddock.hs:113-124 dispatch, :493-578 mkVirtualDoc26)
+HADDOCK26_PAGE = (
+    "<html><head><title>Acme.Old</title></head><body>"
+    "<table><tr><td class=\"topbar\">Acme.Old</td></tr>"
+    "<tr><td class=\"section1\">Synopsis ibex</td></tr>"
+    "<tr class=\"decl\" id=\"mapy\"><td class=\"decl\">"
+    "mapy :: (a -&gt; b) -&gt; [a] -&gt; [b]</td></tr>"
+    "<tr class=\"doc\"><td>apply a function wombat</td></tr>"
+    "<tr class=\"decl\" id=\"Thing\"><td class=\"decl\">"
+    "data Thing a</td></tr>"
+    "<tr class=\"doc\"><td>a data type quokka</td></tr>"
+    "<tr class=\"decl\" id=\"%21%21\"><td class=\"decl\">"
+    "(!!) :: [a] -&gt; Int -&gt; a</td></tr>"
+    "<tr><td class=\"botbar\"><a href=\"h\">Haddock</a></td></tr>"
+    "</table></body></html>"
+)
+
+
+def test_haddock26_decl_split_semantics():
+    """2.6 pages split at <tr class="decl" id=...> rows: unescaped-id
+    titles, #t:/#v: prefix from the declaration's first word, signature
+    after '::' — and the dispatcher routes each page by its own shape
+    (prepareHaddock's 2.8-orElse-2.6)."""
+    from hayoo_spark.split import split_decl_docs_pdf
+
+    pages = pd.DataFrame({
+        "url": ["https://hackage.test/old/Acme-Old.html",
+                "https://hackage.test/docs/Acme-Data-List.html"],
+        "html": [HADDOCK26_PAGE.encode(), HADDOCK_PAGE.encode()],
+    })
+    out = split_decl_docs_pdf(pages)
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    # 2.6 page: function decl -> #v:, data decl -> #t:,
+    # URI-escaped id (%21%21 = !!) unescaped in title and url
+    fn = by_url["https://hackage.test/old/Acme-Old.html#v:mapy"]
+    assert fn["signature"] == "(a -> b) -> [a] -> [b]"
+    assert b"<title>mapy</title>" in fn["html"]
+    assert b"wombat" in fn["html"] and b"quokka" not in fn["html"]
+    ty = by_url["https://hackage.test/old/Acme-Old.html#t:Thing"]
+    assert ty["signature"] == ""
+    op = by_url["https://hackage.test/old/Acme-Old.html#v:!!"]
+    assert op["signature"] == "[a] -> Int -> a"
+    # section 0 keeps the page url with the synopsis prelude
+    mod = by_url["https://hackage.test/old/Acme-Old.html"]
+    assert mod["signature"] == "" and b"ibex" in mod["html"]
+    # the 2.8 page in the SAME batch still splits the 2.8 way
+    assert ("https://hackage.test/docs/Acme-Data-List.html#v:mapx"
+            in by_url)
+    # page order preserved: all 2.6 rows precede all 2.8 rows
+    urls = list(out["url"])
+    assert urls.index("https://hackage.test/old/Acme-Old.html#v:mapy") < \
+        urls.index("https://hackage.test/docs/Acme-Data-List.html#v:mapx")
+
+
+def test_haddock26_extract_text_invariant():
+    """The per-row extract invariant holds for 2.6 virtual docs too:
+    carrying a text column recomputes it from the rebuilt html."""
+    from hayoo_spark.analysis import extract_text_series
+    from hayoo_spark.split import split_decl_docs_pdf
+
+    pages = pd.DataFrame({
+        "url": ["https://hackage.test/old/Acme-Old.html"],
+        "html": [HADDOCK26_PAGE.encode()],
+    })
+    pages["text"] = extract_text_series(
+        pages["html"].map(lambda b: b.decode()))
+    out = split_decl_docs_pdf(pages)
+    got = extract_text_series(
+        out["html"].map(lambda b: b.decode()))
+    assert list(out["text"]) == list(got)
