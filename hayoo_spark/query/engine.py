@@ -435,8 +435,7 @@ class SearchEngine:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:
                 ids, sc = ev.evaluate(ast)
-                order = np.lexsort((sd.urls[ids], -sc))[:m]
-                ids, sc = ids[order], sc[order]
+                ids, sc = ev._cut(ids, sc, m)
             return pd.DataFrame({"url": sd.urls[ids], "score": sc})
 
         top = (
@@ -635,8 +634,7 @@ class SearchEngine:
                 ids, sc = ev.top_m_phrase(ast, m)
             else:
                 ids, sc = ev.evaluate(ast)
-                order = np.lexsort((sd.urls[ids], -sc))[:m]
-                ids, sc = ids[order], sc[order]
+                ids, sc = ev._cut(ids, sc, m)
             return sd.urls[ids], sc
 
         # parallelism split: the docs loads are pyarrow parquet reads

@@ -43,6 +43,15 @@ _POSTINGS_CACHE: dict[tuple, tuple] = {}
 _POSTINGS_CACHE_MAX = int(_os.environ.get("HAYOO_POSTINGS_CACHE", "8192"))
 _POSTINGS_CACHE_LOCK = threading.Lock()
 
+#: cost-based router floor (r5): below this many candidate postings in
+#: a segment, one vectorized exhaustive pass + partial-select cut beats
+#: the interval bound loop outright — the loop's per-batch numpy-call
+#: overhead only amortizes on big lists (measured: at ~19k postings/
+#: segment the loop is ~1.5x slower; the crossover sits around 64k).
+#: Cluster-scale segments (millions of docs) sail past this and prune.
+EXHAUSTIVE_POSTINGS = int(_os.environ.get("HAYOO_WAND_MIN_POSTINGS",
+                                          str(1 << 16)))
+
 
 class SegmentDocs:
     """Prepared (doc_id-ordered numpy) view of one segment's doc table.
@@ -51,8 +60,9 @@ class SegmentDocs:
     (docs store one ``dl_<field>`` column per field — BM25F norms are
     per field).  A plain ``dl`` column is accepted as field "text"."""
 
-    __slots__ = ("n_docs", "urls", "langs", "langs_lc", "urls_lc",
-                 "warc_ts", "dls", "boost", "max_boost", "extra")
+    __slots__ = ("n_docs", "urls", "urls_monotone", "langs", "langs_lc",
+                 "urls_lc", "warc_ts", "dls", "boost", "max_boost",
+                 "extra")
 
     _KNOWN = ("doc_id", "url", "lang", "warc_ts", "boost", "dl")
 
@@ -64,6 +74,13 @@ class SegmentDocs:
         self.extra = {c: pdf[c].to_numpy() for c in pdf.columns
                       if c not in self._KNOWN and not c.startswith("dl_")}
         self.urls = pdf["url"].to_numpy(object)
+        # builder invariant: doc_id is assigned url-ascending within a
+        # segment (prepare_docs w_seg), so url tie-breaks can use the
+        # INTEGER doc_id order instead of object-dtype url sorts.
+        # Verified per segment at load (indexes from other writers may
+        # not hold it) — one O(n) pass, cached with the SegmentDocs.
+        self.urls_monotone = (self.n_docs <= 1 or bool(
+            (self.urls[:-1] <= self.urls[1:]).all()))
         self.langs = pdf["lang"].to_numpy(object)
         # filter comparisons are case-insensitive on BOTH sides (the
         # oracle and the docs-scan path lowercase the stored value;
@@ -135,6 +152,7 @@ class SegmentData:
             docs = SegmentDocs(docs)
         self.n_docs = docs.n_docs
         self.urls = docs.urls
+        self.urls_monotone = getattr(docs, "urls_monotone", False)
         self.langs = docs.langs
         self.langs_lc = docs.langs_lc
         self.urls_lc = docs.urls_lc
@@ -608,6 +626,8 @@ class SegmentEvaluator:
                 sc = sc[ia] + csc[ib]
             return ids, sc
         if isinstance(node, P.Or):
+            if len(node.children) == 1:
+                return self.evaluate(node.children[0])
             all_ids, all_sc = [], []
             for c in node.children:
                 cids, csc = self.evaluate(c)
@@ -820,6 +840,29 @@ class SegmentEvaluator:
         if kind == "and":
             groups = [[_norm3(g)] if isinstance(g, tuple)
                       else [_norm3(x) for x in g] for g in leaves]
+            # cost-based route (no positions involved): on small
+            # segments the evaluate() pass is cheaper than the
+            # intersect-first machinery; intersection-first only pays
+            # when the posting lists dwarf their intersection
+            if not phrases:
+                total_df = sum(
+                    len(s.postings(ff, t)[0])
+                    for g in groups for f, t, _ in g
+                    for ff in self._leaf_fields(f))
+                if total_df <= EXHAUSTIVE_POSTINGS:
+                    node: P.Node = P.And(tuple(
+                        [P.Term(t, field=(f if f is not None
+                                          else P.DEFAULT_FIELD), boost=b)
+                         for f, t, b in g][0] if len(g) == 1 else
+                        P.Or(tuple(
+                            P.Term(t, field=(f if f is not None
+                                             else P.DEFAULT_FIELD),
+                                   boost=b) for f, t, b in g))
+                        for g in groups) + tuple(filters))
+                    if exclude is not None:
+                        node = P.AndNot(node, exclude)
+                    e_ids, e_sc = self.evaluate(node)
+                    return self._cut(e_ids, e_sc, m)
             ids = inc
             for g in groups:
                 parts = []
@@ -896,14 +939,16 @@ class SegmentEvaluator:
         fl = [(ff, t, b * self.weights[ff])
               for f, t, b in leaves3 for ff in self._leaf_fields(f)]
 
-        # many-list ORs (prefix expansions): interval pruning costs
-        # O(intervals × lists) of small python-numpy calls and the summed
-        # bound is too loose to prune anyway — the one-pass vectorized
-        # union (concat -> unique -> bincount) wins outright
-        if len(fl) > 8:
-            node = P.Or(tuple(
+        # cost-based route: many-list ORs (prefix expansions — loose
+        # summed bounds) and small segments (below the postings floor)
+        # take the one-pass vectorized union; the bound loop only pays
+        # on big discriminating lists
+        total_df = sum(len(self.seg.postings(f, t)[0]) for f, t, _ in fl)
+        if len(fl) > 8 or total_df <= EXHAUSTIVE_POSTINGS:
+            ts = tuple(
                 P.Term(t, field=(f if f is not None else P.DEFAULT_FIELD),
-                       boost=b) for f, t, b in leaves3))
+                       boost=b) for f, t, b in leaves3)
+            node = ts[0] if len(ts) == 1 else P.Or(ts)
             ids, sc = self.evaluate(node)
             if ex_ids is not None and ids.size:
                 keep = ~self._member_of(ids, ex_ids)
@@ -929,35 +974,70 @@ class SegmentEvaluator:
             iv_ub[valid] += boost * idf * bscale * bub[cover[valid]]
         order = np.argsort(-iv_ub, kind="stable")
 
+        # BATCHED bound-descending scan (r5): the per-interval python
+        # loop cost ~30 µs × intervals × lists and, on multi-field
+        # default sets where the summed cross-list bound is loose, ran
+        # SLOWER than one vectorized exhaustive pass (measured 2-4x on
+        # the 2-field 30k index).  Intervals are now consumed in
+        # doubling batches; within a batch each list gathers ALL its
+        # covered postings with one vectorized multi-slice (cumsum
+        # arange trick), so the numpy call count is
+        # O(lists × log intervals) instead of O(lists × intervals).
+        # The stopping rule is unchanged and still exact: a batch
+        # starts only while the best unscored bound >= theta, and
+        # once m docs are held, intervals with ub < theta are dropped
+        # before gathering (strictly-lower only — equal-bound docs can
+        # still win a url tie-break).
+        los = np.concatenate(([0], bounds[:-1] + 1))
+        his = bounds
+        per_list = []
+        for f, t, boost, ids, tfs, blast, bub in terms:
+            a = np.searchsorted(ids, los, side="left")
+            b = np.searchsorted(ids, his, side="right")
+            coef = boost * self.idf.get((f, t), 0.0)
+            per_list.append((f, ids, tfs, a, b, coef))
+
         top_ids: list[np.ndarray] = []
         top_sc: list[np.ndarray] = []
         theta = -np.inf
         count = 0
-        next_theta_at = m
-        for oi in order:
-            if count >= m and iv_ub[oi] < theta:
-                break  # no remaining interval can reach the current top-m
-            lo = bounds[oi - 1] + 1 if oi > 0 else 0
-            hi = bounds[oi]
-            iv_cat_ids, iv_cat_sc = [], []
-            for f, t, boost, ids, tfs, blast, bub in terms:
-                a = np.searchsorted(ids, lo, side="left")
-                b = np.searchsorted(ids, hi, side="right")
-                if a == b:
+        pos = 0
+        # the first batch exists to establish theta: make it as small
+        # as the budget allows (one ~64-doc interval usually holds m),
+        # so the flat-bounds case degenerates to tiny-probe + one
+        # vectorized mega-batch ~= the exhaustive pass
+        batch = max(1, (m + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE)
+        n_iv = len(order)
+        while pos < n_iv:
+            if count >= m and iv_ub[order[pos]] < theta:
+                break  # no remaining interval can reach the top-m
+            take = order[pos:pos + batch]
+            pos += batch
+            batch *= 2
+            if count >= m:
+                take = take[iv_ub[take] >= theta]
+                if take.size == 0:
                     continue
-                sl_ids = ids[a:b]
-                norms = codec.tf_norm(tfs[a:b], s.dls[f][sl_ids],
+            iv_cat_ids, iv_cat_sc = [], []
+            for f, ids, tfs, a, b, coef in per_list:
+                ta, tb = a[take], b[take]
+                ln = tb - ta
+                nz = ln > 0
+                if not nz.any():
+                    continue
+                ta, ln = ta[nz], ln[nz]
+                total = int(ln.sum())
+                offs = np.cumsum(ln) - ln
+                idx = (np.arange(total)
+                       + np.repeat(ta - offs, ln))
+                sl_ids = ids[idx]
+                norms = codec.tf_norm(tfs[idx], s.dls[f][sl_ids],
                                       self.avgdl[f])
                 iv_cat_ids.append(sl_ids)
-                iv_cat_sc.append(
-                    boost * self.idf.get((f, t), 0.0) * norms * s.boost[sl_ids])
+                iv_cat_sc.append(coef * norms * s.boost[sl_ids])
             if not iv_cat_ids:
                 continue
             if len(iv_cat_ids) == 1:
-                # single contributing list (every single-term query):
-                # a block slice is already unique + sorted — the
-                # union machinery (unique/argsort/cumsum) is pure
-                # overhead at ~20 numpy calls per interval
                 uniq, acc = iv_cat_ids[0], iv_cat_sc[0]
             else:
                 uniq, acc = _union_sum(iv_cat_ids, iv_cat_sc)
@@ -970,18 +1050,41 @@ class SegmentEvaluator:
             top_ids.append(uniq)
             top_sc.append(acc)
             count += len(uniq)
-            if count >= next_theta_at:
+            if count >= m:
                 allsc = np.concatenate(top_sc)
-                if len(allsc) >= m:
-                    theta = np.partition(allsc, -m)[-m]
-                # refresh on doublings: theta freshness barely moves
-                # after the first few intervals, while a partition per
-                # interval dominated the single-heavy-term profile
-                next_theta_at = max(count * 2, m)
+                theta = np.partition(allsc, -m)[-m]
+                # bail-out: when theta excludes under half of what's
+                # left (flat bound distributions — ubiquitous terms,
+                # saturated tf plateaus), the loop would pay batch
+                # overhead for zero pruning; finish in ONE vectorized
+                # mega-batch instead.  Exactness unchanged — the final
+                # batch still drops only strictly-below-theta intervals.
+                rest = order[pos:]
+                if rest.size and (iv_ub[rest] >= theta).mean() > 0.5:
+                    batch = n_iv
+        if not top_ids:
+            return np.zeros(0, np.int64), np.zeros(0)
         ids = np.concatenate(top_ids)
         sc = np.concatenate(top_sc)
         return self._cut(ids, sc, m)
 
     def _cut(self, ids: np.ndarray, sc: np.ndarray, m: int):
-        order = np.lexsort((self.seg.urls[ids], -sc))[:m]
+        """Exact top-m by (score desc, url asc).
+
+        Two fast paths (r5, measured 40% of heavy-term latency):
+        - partial selection first — only docs scoring >= the m-th score
+          can place, so the tie-break sort runs over the score plateau
+          + better, not every match;
+        - when the segment holds the builder's url-ascending doc_id
+          invariant, the url tie-break is an int64 lexsort on doc_id
+          instead of an object-dtype sort over url strings."""
+        if len(ids) > 4 * m and len(ids):
+            k = min(m, len(sc))
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            ids, sc = ids[keep], sc[keep]
+        if self.seg.urls_monotone:
+            order = np.lexsort((ids, -sc))[:m]
+        else:
+            order = np.lexsort((self.seg.urls[ids], -sc))[:m]
         return ids[order], sc[order]
