@@ -41,6 +41,7 @@ the writer without touching the logic — storage shim per SURVEY.md §7):
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 
@@ -501,10 +502,31 @@ def build_index(
         if "split_sections" in srows[0].asDict():
             split_sections = bool(srows[0]["split_sections"])
 
+    manifest_path = os.path.join(index_dir, "manifest")
+    done: set[int] = set()
+    if resume and os.path.exists(manifest_path) and glob.glob(
+            os.path.join(manifest_path, "*.parquet")):
+        done = {r["partition_id"] for r in
+                spark.read.parquet(manifest_path).select("partition_id").collect()}
+    pending = [s for s in range(n_segments) if s not in done]
+    batch_size = segments_per_batch or max(1, len(pending))
+
     pages = spark.read.parquet(pages_path)
     if split_sections:
         from ..split import split_virtual_docs
         pages = split_virtual_docs(pages)
+    # PARTIAL resume (incremental update): when global stats are frozen
+    # on disk and only a subset of segments is missing, prune the
+    # corpus to the pending segments' pages BEFORE extraction — the
+    # expensive tokenize pass then scales with the touched fraction,
+    # not the corpus (a 1-of-32-segment update was paying ~70% of a
+    # full rebuild in prepare time, measured at 300k).  Only valid when
+    # stats exist: a fresh stats pass needs every document.
+    if resume and srows is not None and pending \
+            and len(pending) < n_segments:
+        pages = pages.filter(
+            F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
+            .isin(pending))
     # tokenized docs feed the stats pass AND every segment batch:
     # persist to avoid re-extracting/re-tokenizing the corpus per pass
     # (disk-backed — token arrays exceed executor memory at scale)
@@ -518,14 +540,6 @@ def build_index(
 
     phase_t: dict[str, float] = {}
     t_phase = time.monotonic()
-
-    manifest_path = os.path.join(index_dir, "manifest")
-    done: set[int] = set()
-    if resume and os.path.exists(manifest_path):
-        done = {r["partition_id"] for r in
-                spark.read.parquet(manifest_path).select("partition_id").collect()}
-    pending = [s for s in range(n_segments) if s not in done]
-    batch_size = segments_per_batch or max(1, len(pending))
 
     # global stats (N, per-field avgdl) must be frozen before any
     # encode.  Resume reads them back; a fresh build computes them on

@@ -77,6 +77,72 @@ def update_index(
     if not segs:
         return {"segments_rebuilt": 0}
 
+    # the field schema / corpus options live in stats — capture them so
+    # the rebuild keeps the original contexts unless overridden
+    srows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "stats")).collect(),
+        key=lambda r: r["fkey"])
+    if "fields" not in build_kwargs:
+        from .fields import FieldSpec
+        build_kwargs["fields"] = tuple(
+            FieldSpec(r["field"], r["weight"], r["is_default"], r["source"],
+                      r.asDict().get("ftype", "text"),
+                      r.asDict().get("token_mode", "tokens"))
+            for r in srows)
+    if "drop_empty" in srows[0].asDict():
+        build_kwargs.setdefault("drop_empty", bool(srows[0]["drop_empty"]))
+    if "split_sections" in srows[0].asDict():
+        build_kwargs.setdefault(
+            "split_sections", bool(srows[0]["split_sections"]))
+    fields = build_kwargs["fields"]
+
+    # churn touching EVERY segment gains nothing from segment-wise
+    # replay — a random change set of n docs touches ~S·(1-(1-1/S)^n)
+    # of S segments, so 0.1%+ random churn hits all of them (measured:
+    # a 20-of-32-segment update cost 2.3x a full rebuild).  Rebuild
+    # cold instead of paying delete + incremental bookkeeping on top.
+    if len(segs) == n_segments:
+        build_index(spark, pages_path, index_dir,
+                    n_segments=n_segments, resume=False, **build_kwargs)
+        return {"segments_rebuilt": n_segments, "full_rebuild": True}
+
+    # --- incremental global-stats merge (BEFORE deleting anything):
+    # new = old − removed-segments' totals + re-prepared segments'
+    # totals.  Exact: stats carry total_tokens per field, the doc store
+    # carries dl_* per segment (a pruned columnar read — no tokenize),
+    # and only the touched fraction of the corpus is re-tokenized.
+    from .builder import (_stats_aggs, _write_stats, manifest_schema,
+                          prepare_docs, write_meta_parquet)
+    text_fields = [f for f in fields if f.ftype != "date"]
+    removed = (spark.read.parquet(os.path.join(index_dir, "docs"))
+               .filter(F.col("segment").isin(segs))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    *[F.sum(f"dl_{f.name}").alias(f"tot_{f.name}")
+                      for f in text_fields])
+               .collect()[0])
+    src = pages
+    if build_kwargs.get("split_sections"):
+        from ..split import split_virtual_docs
+        src = split_virtual_docs(src)
+    src = src.filter(
+        F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
+        .isin(segs))
+    added = (prepare_docs(src, n_segments, fields=fields,
+                          drop_empty=build_kwargs.get("drop_empty", False))
+             .agg(*_stats_aggs(fields)).collect()[0])
+    a = {"n_docs": int(srows[0]["n_docs"]) - int(removed["n_docs"] or 0)
+         + int(added["n_docs"] or 0)}
+    for f in text_fields:
+        old_tot = next(int(r["total_tokens"]) for r in srows
+                       if r["field"] == f.name)
+        tot = old_tot - int(removed[f"tot_{f.name}"] or 0) \
+            + int(added[f"tot_{f.name}"] or 0)
+        a[f"tot_{f.name}"] = tot
+        a[f"avg_{f.name}"] = (tot / a["n_docs"]) if a["n_docs"] else 1.0
+    _write_stats(a, fields, bool(build_kwargs.get("drop_empty", False)),
+                 bool(build_kwargs.get("split_sections", False)),
+                 os.path.join(index_dir, "stats"))
+
     # delete-by-segment: drop data files + manifest rows
     for s in segs:
         for sub in ("docs", "postings"):
@@ -88,7 +154,6 @@ def update_index(
     shutil.rmtree(man_path, ignore_errors=True)
     if len(kept):
         import json
-        from .builder import manifest_schema, write_meta_parquet
         if "enc_avgdl_json" not in kept.columns:  # pre-r3 manifest layout
             kept["enc_avgdl_json"] = kept["enc_avgdl"].map(
                 lambda v: json.dumps({"text": float(v)}))
@@ -96,28 +161,9 @@ def update_index(
     else:
         os.makedirs(man_path, exist_ok=True)
 
-    # refresh global stats BEFORE re-encode so new segments use current
-    # corpus-wide avgdl (stats pass inside build_index, resume=False for
-    # stats is forced by deleting the stats dir).  The field schema
-    # lives in stats too — capture it first so the rebuild keeps the
-    # original contexts unless the caller overrides them.
-    if "fields" not in build_kwargs:
-        from .fields import FieldSpec
-        srows = sorted(
-            spark.read.parquet(os.path.join(index_dir, "stats")).collect(),
-            key=lambda r: r["fkey"])
-        build_kwargs["fields"] = tuple(
-            FieldSpec(r["field"], r["weight"], r["is_default"], r["source"],
-                      r.asDict().get("ftype", "text"),
-                      r.asDict().get("token_mode", "tokens"))
-            for r in srows)
-        if "drop_empty" in srows[0].asDict():
-            build_kwargs.setdefault("drop_empty", bool(srows[0]["drop_empty"]))
-        if "split_sections" in srows[0].asDict():
-            build_kwargs.setdefault(
-                "split_sections", bool(srows[0]["split_sections"]))
-    shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
-
+    # stats are frozen (merged above), so build_index resumes with the
+    # partial-corpus fast path: only the pending segments' pages are
+    # extracted/tokenized
     build_index(spark, pages_path, index_dir, n_segments=n_segments,
                 resume=True, **build_kwargs)
     return {"segments_rebuilt": len(segs)}
