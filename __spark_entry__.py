@@ -472,6 +472,36 @@ def q_haddock_decl_split(spark, sf_dir):
     return out.select("url", "signature")
 
 
+def s_reexport_merge(spark, sf_dir):
+    """Gen-1 re-export merge (pipeline.merge_reexports; reference
+    FctIndexerCore.hs:196-244 toCmd + :276-297 toDup/lookupDup,
+    ApiDocument.hs:76-81 — the identity hash deliberately EXCLUDES the
+    module): function declarations equal up to module collapse to the
+    lexicographically-first URI, which carries every URI and module
+    name of the group (d'uris / d'module description entries).  A
+    synthetic decl per customer key; groups share k % 479, modules and
+    URIs derive from k, so the window twin is pure arithmetic."""
+    from hayoo_spark.pipeline import merge_reexports
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    r = (k % 479).cast("string")
+    ks = k.cast("string")
+    decls = cust.select(
+        F.lit("basepkg").alias("package"),
+        F.concat(F.lit("M"), ks).alias("module"),
+        F.concat(F.lit("fn"), r).alias("name"),
+        F.when(k % 5 == 0, F.lit("data"))
+        .otherwise(F.lit("function")).alias("fct_type"),
+        F.concat(F.lit("Alpha"), r).alias("signature"),
+        F.concat(F.lit("doc "), r).alias("description"),
+        F.concat(F.lit("u://"), r, F.lit("/"), ks).alias("doc_uri"))
+    out = merge_reexports(decls)
+    return out.select(
+        "name", "fct_type", "doc_uri",
+        F.concat_ws(",", "alt_uris").alias("alt_uris"),
+        F.concat_ws(",", "alt_modules").alias("alt_modules"))
+
+
 def q_join_compose(spark, sf_dir):
     """R2 relation composition: supplier ⋈ nation ⋈ region with
     broadcast of the small sides (reference: PackageRank.hs:141-174)."""
@@ -778,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_command_stream": s_command_stream,
         "s_hoogle_decls": s_hoogle_decls,
         "q_haddock_decl_split": q_haddock_decl_split,
+        "s_reexport_merge": s_reexport_merge,
         "d_dedup_clusters": d_dedup_clusters,
         "t_clean_corpus": t_clean_corpus,
         "t_token_count": t_token_count,
@@ -843,6 +874,39 @@ dots AS (
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["s_reexport_merge"] = """
+WITH decls AS (
+  SELECT 'basepkg' AS package,
+         'M' || CAST(c_custkey AS VARCHAR) AS module,
+         'fn' || CAST(c_custkey % 479 AS VARCHAR) AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'data'
+              ELSE 'function' END AS fct_type,
+         'Alpha' || CAST(c_custkey % 479 AS VARCHAR) AS signature,
+         'doc ' || CAST(c_custkey % 479 AS VARCHAR) AS description,
+         'u://' || CAST(c_custkey % 479 AS VARCHAR) || '/' ||
+           CAST(c_custkey AS VARCHAR) AS doc_uri
+  FROM customer
+), fct AS (
+  SELECT name, fct_type, doc_uri,
+         row_number() OVER w AS rn,
+         count(*) OVER w2 AS cnt,
+         array_to_string(list(doc_uri) OVER w2, ',') AS uris,
+         array_to_string(list(module) OVER w2, ',') AS mods
+  FROM decls WHERE fct_type = 'function'
+  WINDOW w AS (PARTITION BY name, signature, package, description
+               ORDER BY doc_uri),
+         w2 AS (PARTITION BY name, signature, package, description
+                ORDER BY doc_uri
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+)
+SELECT name, fct_type, doc_uri,
+       CASE WHEN cnt > 1 THEN uris ELSE '' END AS alt_uris,
+       CASE WHEN cnt > 1 THEN mods ELSE '' END AS alt_modules
+FROM fct WHERE rn = 1
+UNION ALL
+SELECT name, fct_type, doc_uri, '' AS alt_uris, '' AS alt_modules
+FROM decls WHERE fct_type <> 'function'"""
     sql["q_bm25_term"] = _BM25_CTES + _bm25_select("tf.term IN ('spark')") + \
         "SELECT doc_id, score_x1e4, n_terms FROM scores"
     sql["q_bm25_and"] = _BM25_CTES + _bm25_select(
