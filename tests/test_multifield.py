@@ -194,3 +194,19 @@ def test_update_preserves_field_schema(spark, mf_pages, tmp_path_factory,
     e_full = SearchEngine(spark, full)
     for q in ["baba", "title:solitaryword", "!Company", "tag:alpha AND baba"]:
         assert e_upd.search(q, k=10) == e_full.search(q, k=10), q
+
+
+@pytest.mark.parametrize("q", QUERIES[::3])
+def test_rank_identity_with_bound_loop_forced(mf_engine, mf_oracle, q,
+                                              monkeypatch):
+    """Same oracle parity with the cost router disabled (floor 0), so
+    the batched interval bound loop — the cluster-scale route that
+    small corpora otherwise never reach — is exercised end-to-end."""
+    from hayoo_spark.query import wand as W
+
+    monkeypatch.setattr(W, "EXHAUSTIVE_POSTINGS", 0)
+    got = mf_engine.search(q, k=20, mode="local")
+    want = oracle.search(mf_oracle, q, k=20)
+    assert [u for u, _ in got] == [u for u, _ in want], q
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, f"{q} {gu}"

@@ -192,3 +192,60 @@ def test_flat_detector_shapes():
         P.AndNot(P.And((P.Term("a"), P.Term("en", field="lang"))),
                  P.Term("b")), W)
     assert flat is not None and ex == P.Term("b")
+
+
+def test_bound_loop_forced_equals_exhaustive(monkeypatch):
+    """The cost router sends small segments to the vectorized pass, so
+    ALSO pin the floor to 0 and re-verify the batched interval bound
+    loop itself (the cluster-scale route) against exhaustive scoring —
+    otherwise no small-corpus test would execute it."""
+    from hayoo_spark.query import wand as W
+
+    monkeypatch.setattr(W, "EXHAUSTIVE_POSTINGS", 0)
+    ev, terms = make_segment()
+    for m in (1, 10, 100, 10_000):
+        leaves = [(t, 1.0) for t in terms]
+        pi, ps = ev.top_m_pruned("or", leaves, m)
+        ei, es = _topm_exhaustive(ev, P.Or(tuple(P.Term(t) for t in terms)), m)
+        assert np.array_equal(pi, ei), f"m={m}"
+        assert np.allclose(ps, es)
+    # scoped single term through the loop
+    pi, ps = ev.top_m_pruned("or", [("text", terms[0], 1.0)], 25)
+    ei, es = _topm_exhaustive(ev, P.Term(terms[0], field="text"), 25)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+    # AndNot exclusion through the loop
+    node = P.AndNot(P.Term(terms[0]), P.Term(terms[1]))
+    pi, ps = ev.top_m_pruned("or", [(terms[0], 1.0)], 50,
+                             exclude=P.Term(terms[1]))
+    ei, es = _topm_exhaustive(ev, node, 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+    # AND group path (intersect-first machinery, not the evaluate route)
+    pi, ps = ev.top_m_pruned(
+        "and", [[(None, terms[0], 1.0), (None, terms[1], 1.0)],
+                [(None, terms[2], 1.0)]], 50,
+        filters=(P.Term("en", field="lang"),))
+    ei, es = _topm_exhaustive(ev, P.And((
+        P.Or((P.Term(terms[0]), P.Term(terms[1]))), P.Term(terms[2]),
+        P.Term("en", field="lang"))), 50)
+    assert np.array_equal(pi, ei)
+    assert np.allclose(ps, es)
+
+
+def test_cut_partial_select_and_int_tiebreak():
+    """_cut's two fast paths: partial selection keeps exactly the
+    score-plateau + better, and the int tie-break (urls_monotone) is
+    identical to the url-string sort when doc_id order == url order."""
+    ev, terms = make_segment()
+    ids, sc = ev.evaluate(P.Term(terms[0]))
+    assert ev.seg.urls_monotone  # fixture urls are u/%06d == id order
+    fast_i, fast_s = ev._cut(ids, sc, 20)
+    order = np.lexsort((ev.seg.urls[ids], -sc))[:20]
+    assert np.array_equal(fast_i, ids[order])
+    assert np.allclose(fast_s, sc[order])
+    # non-monotone segments must fall back to the string sort
+    ev.seg.urls_monotone = False
+    slow_i, slow_s = ev._cut(ids, sc, 20)
+    assert np.array_equal(slow_i, fast_i)
+    ev.seg.urls_monotone = True
