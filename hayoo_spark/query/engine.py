@@ -61,6 +61,7 @@ SERVING_SHUFFLE_PARTITIONS = 8
 ROWS_CACHE_BYTES = 512 * 1024 * 1024
 
 
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  mode: str = "local",
@@ -647,6 +648,13 @@ class SearchEngine:
                 list(ex.map(lambda s: load_segment_docs(docs_root, s), cold))
         out_urls: list = []
         out_scores: list = []
+        # NOTE (r5, measured): a thread pool over segments is 3x SLOWER
+        # even at 47k docs/segment (3M index: serial p50 194 ms vs
+        # pooled 634 ms) — the evaluation's numpy calls stay too small
+        # to release the GIL long enough, so threads convoy at every
+        # scale tested.  Scale-out of one query's segments is the
+        # distributed mode / segment-sharded serving processes, not
+        # driver threads.
         with self._eval_gate:
             for seg in segs:
                 res = one_segment(seg)

@@ -567,6 +567,11 @@ class SegmentEvaluator:
             if ids.size:
                 parts_ids.append(ids)
                 parts_sc.append(boost * self.weights[f] * sc)
+        if len(parts_ids) == 1:
+            # single contributing field (every single-field index):
+            # posting ids are already unique + sorted — the union's
+            # unique/argsort over them was ~40% of heavy-term time at 3M
+            return parts_ids[0], parts_sc[0]
         return _union_sum(parts_ids, parts_sc)
 
     def evaluate(self, node: P.Node):
