@@ -39,6 +39,11 @@ def main(argv=None):
                     help="route queries through the frontend planner "
                          "(std/signature/fallback branches) instead of "
                          "the raw query language")
+    ap.add_argument("--stats", action="store_true",
+                    help="after serving the queries, print one JSON "
+                         "line with the engine's metrics snapshot — "
+                         "the reference's /stats EKG sample "
+                         "(hayoo-server Metrics.hs)")
     ap.add_argument("--complete", action="store_true",
                     help="full-query completion instead of search: "
                          "complete each input's LAST word and print the "
@@ -75,6 +80,8 @@ def main(argv=None):
             hits = search(q, k=args.k, page=args.page)
             print(json.dumps({"query": q,
                               "hits": [{"url": u, "score": s} for u, s in hits]}))
+    if args.stats:
+        print(json.dumps({"stats": eng.metrics()}))
 
 
 if __name__ == "__main__":
