@@ -704,6 +704,45 @@ def t_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def t_pii_scrub(spark, sf_dir):
+    """PII redaction (ops/textstats.scrub_pii): emails / +intl phones /
+    IPv4 literals -> typed placeholders + per-doc count, pure JVM
+    regexps.  The zipf corpus carries no PII, so deterministic spans
+    are appended per doc_id class — the oracle builds the same text."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(k % 7 == 0, F.concat(
+            F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com now")))
+        .when(k % 7 == 1, F.concat(F.lit(" call +4915512"),
+                                   (k % 1000).cast("string")))
+        .when(k % 7 == 2, F.concat(F.lit(" host 10.0."),
+                                   (k % 255).cast("string"),
+                                   F.lit(".7 up")))
+        .when(k % 7 == 3, F.concat(
+            F.lit(" both a.b"), k.cast("string"),
+            F.lit("@mail.org and 192.168.1."),
+            (k % 99).cast("string")))
+        .otherwise(F.lit("")))
+    out = textstats.scrub_pii(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id", "n_pii",
+        F.right("text_scrubbed", F.lit(40)).alias("tail40"))
+
+
+def d_contamination(spark, sf_dir):
+    """Benchmark-contamination detection (ops/dedup.contamination):
+    training docs sharing a 3-token shingle with the benchmark side
+    (doc_id % 97 == 0 plays the held-out eval set), shared-shingle
+    count as evidence; the tiny benchmark side broadcasts."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(train, bench)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-fold analogue (T12): per-user session counts with a
     30-minute inactivity gap, via window lag + running sum."""
@@ -815,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
         "t_fingerprint": t_fingerprint,
+        "t_pii_scrub": t_pii_scrub,
+        "d_contamination": d_contamination,
     }
 
 
@@ -1129,6 +1170,62 @@ FROM sess GROUP BY user_id"""
     sql["d_exact_dup"] = """
 SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text)"""
+    _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PHONE = "\\+[0-9]{7,15}"
+    _IPV4 = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+             "\\.[0-9]{1,3}\\b")
+    sql["t_pii_scrub"] = f"""
+WITH t AS (
+  SELECT doc_id, text || CASE
+    WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+    WHEN doc_id % 7 = 1 THEN ' call +4915512'
+                             || CAST(doc_id % 1000 AS VARCHAR)
+    WHEN doc_id % 7 = 2 THEN ' host 10.0.' || CAST(doc_id % 255 AS VARCHAR)
+                             || '.7 up'
+    WHEN doc_id % 7 = 3 THEN ' both a.b' || CAST(doc_id AS VARCHAR)
+                             || '@mail.org and 192.168.1.'
+                             || CAST(doc_id % 99 AS VARCHAR)
+    ELSE '' END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{_EMAIL}')) AS n1,
+              regexp_replace(text, '{_EMAIL}', '[EMAIL]', 'g') AS t
+       FROM t),
+s2 AS (SELECT doc_id,
+              n1 + len(regexp_extract_all(t, '{_PHONE}')) AS n2,
+              regexp_replace(t, '{_PHONE}', '[PHONE]', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id,
+              n2 + len(regexp_extract_all(t, '{_IPV4}')) AS n_pii,
+              regexp_replace(t, '{_IPV4}', '[IP]', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_pii, right(t, 40) AS tail40 FROM s3"""
+    sql["d_contamination"] = f"""
+WITH f AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                             x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN array_to_string(toks[i:i+2], ' ')
+                ELSE array_to_string(toks, ' ') END AS shingle
+    FROM f, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+                     THEN range(1, len(toks) - 1)
+                     ELSE [1] END) AS i))
+  WHERE length(shingle) > 0),
+shh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS shingle
+  FROM sh)
+SELECT t.doc_id, count(*) AS n_shared
+FROM shh t
+JOIN (SELECT DISTINCT shingle FROM shh WHERE doc_id % 97 = 0) b
+  USING (shingle)
+WHERE t.doc_id % 97 <> 0
+GROUP BY t.doc_id"""
     sql["d_ngram_jaccard"] = _jaccard_sql(0.2)
     sql["d_minhash_lsh"] = _minhash_lsh_sql(threshold=0.2)
     _components = f"""

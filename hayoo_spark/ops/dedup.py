@@ -124,6 +124,27 @@ def hashed_shingles(docs: DataFrame, key: str = "doc_id",
         key, _md5i(F.col("shingle")).alias("shingle"))
 
 
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  key: str = "doc_id", text: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Benchmark-contamination detection — the decontamination pass
+    every LLM training pipeline runs before training (n-gram overlap
+    against held-out eval sets): (key, n_shared) for every training doc
+    sharing at least one n-token shingle with the benchmark corpus.
+
+    Spark shape: the training side reuses the 56-bit hashed-shingle
+    relation (8-byte keys); the benchmark side is an eval set — tiny by
+    definition — so its distinct shingles broadcast and the check is
+    one map-side hash join over the training shingles, no shuffle of
+    the big side.  Filtering out the flagged docs composes with
+    clean_corpus via a left_anti on the returned keys."""
+    tr = hashed_shingles(docs, key, text, n)
+    bm = (hashed_shingles(benchmark, key, text, n)
+          .select("shingle").distinct())
+    return (tr.join(F.broadcast(bm), "shingle")
+            .groupBy(key).agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 def _affine_coef(num_hashes: int, seed: int):
     rng = np.random.RandomState(seed)
     # 31-bit Mersenne-prime space: h' < 2^31, a < 2^15 -> a*h'+b < 2^47,

@@ -119,6 +119,36 @@ def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
     )
 
 
+#: PII patterns applied IN ORDER (earlier replacements cannot create
+#: later matches); conservative dialect-portable regexes — the same
+#: strings run under Java regex (Spark) and RE2 (the DuckDB oracle)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("phone", r"\+[0-9]{7,15}", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "[IP]"),
+)
+
+
+def scrub_pii(docs: DataFrame, key: str = "doc_id",
+              text: str = "text") -> DataFrame:
+    """PII redaction for training corpora (the C4/Dolma-style scrub):
+    emails, international phone numbers and IPv4 literals are replaced
+    with typed placeholders, with a per-doc redaction count.
+
+    Pure JVM regexp expressions — one codegen'd projection over the
+    scan, no UDF, no shuffle; counts are taken against the progressive
+    text state so a replaced span is never double-counted."""
+    col = F.col(text)
+    n = F.lit(0).cast("long")
+    for _, pat, repl in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, repl)
+    return docs.select(F.col(key), col.alias("text_scrubbed"),
+                       n.alias("n_pii"))
+
+
 def clean_corpus(docs: DataFrame, key: str = "doc_id",
                  text: str = "text",
                  min_quality_x1e4: int = 5000,

@@ -356,3 +356,59 @@ def test_crawl_frontier_broadcasts_in_plan(spark):
     out = crawl.expand_frontier(links, seeds, rounds=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_scrub_pii(spark):
+    from hayoo_spark.ops import textstats
+
+    docs = spark.createDataFrame([
+        (1, "mail me at bob@example.com or +4915512345678 ok"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "nothing personal here"),
+        (4, "a.b-c_d%e+f@sub.domain.co end"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.scrub_pii(docs).collect()}
+    assert out[1]["n_pii"] == 2
+    assert "[EMAIL]" in out[1]["text_scrubbed"]
+    assert "[PHONE]" in out[1]["text_scrubbed"]
+    assert "bob@" not in out[1]["text_scrubbed"]
+    assert out[2]["n_pii"] == 2
+    assert out[2]["text_scrubbed"] == "server [IP] and [IP] up"
+    assert out[3]["n_pii"] == 0
+    assert out[3]["text_scrubbed"] == "nothing personal here"
+    assert out[4]["n_pii"] == 1
+    assert out[4]["text_scrubbed"] == "[EMAIL] end"
+
+
+def test_contamination(spark):
+    from hayoo_spark.ops import dedup as D
+
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over lazy dogs"),
+        (2, "completely unrelated material about spark joins"),
+        (3, "quick brown fox appears here too somehow"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "benchmark asks about the quick brown fox")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared"]
+           for r in D.contamination(train, bench).collect()}
+    # docs 1 and 3 share the 'quick brown fox' shingle; doc 2 is clean
+    assert set(got) == {1, 3}
+    assert all(v >= 1 for v in got.values())
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast — shuffling the training
+    shingle relation against a tiny eval set is the anti-pattern."""
+    from hayoo_spark.ops import dedup as D
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "alpha beta gamma")],
+                                  "doc_id long, text string")
+    plan = (D.contamination(train, bench)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "broadcast" in plan.lower()
