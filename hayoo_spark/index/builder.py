@@ -467,6 +467,7 @@ def build_index(
     drop_empty: bool = False,
     split_sections: bool = False,
     store_cols: tuple[str, ...] = (),
+    prepared_docs: DataFrame | None = None,
 ) -> dict:
     """Build (or resume) the index.  Returns build metrics.
 
@@ -479,6 +480,11 @@ def build_index(
     docs keyed url#anchor BEFORE indexing (split.py — the reference's
     one-doc-per-declaration behavior, Haddock.hs:113-454); persisted in
     stats/ like the rest of the schema.
+    ``prepared_docs`` (incremental-update fast path) is an
+    already-prepared, already-persisted docs relation covering exactly
+    the pending segments — update_index passes the relation it computed
+    the stats merge from, so the touched fraction is extracted and
+    tokenized ONCE, not once per pass (ADVICE r5).
     """
     if not resume and os.path.exists(index_dir):
         # cold build must not append onto stale segments
@@ -501,6 +507,9 @@ def build_index(
             drop_empty = bool(srows[0]["drop_empty"])
         if "split_sections" in srows[0].asDict():
             split_sections = bool(srows[0]["split_sections"])
+        if "store_cols_json" in srows[0].asDict():
+            import json as _json
+            store_cols = tuple(_json.loads(srows[0]["store_cols_json"]))
 
     manifest_path = os.path.join(index_dir, "manifest")
     done: set[int] = set()
@@ -511,32 +520,40 @@ def build_index(
     pending = [s for s in range(n_segments) if s not in done]
     batch_size = segments_per_batch or max(1, len(pending))
 
-    pages = spark.read.parquet(pages_path)
-    if split_sections:
-        from ..split import split_virtual_docs
-        pages = split_virtual_docs(pages)
-    # PARTIAL resume (incremental update): when global stats are frozen
-    # on disk and only a subset of segments is missing, prune the
-    # corpus to the pending segments' pages BEFORE extraction — the
-    # expensive tokenize pass then scales with the touched fraction,
-    # not the corpus (a 1-of-32-segment update was paying ~70% of a
-    # full rebuild in prepare time, measured at 300k).  Only valid when
-    # stats exist: a fresh stats pass needs every document.
-    if resume and srows is not None and pending \
-            and len(pending) < n_segments:
-        pages = pages.filter(
-            F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
-            .isin(pending))
-    # tokenized docs feed the stats pass AND every segment batch:
-    # persist to avoid re-extracting/re-tokenizing the corpus per pass
-    # (disk-backed — token arrays exceed executor memory at scale)
     from pyspark import StorageLevel
-    # extraction parallelism comes from input splits (session sets
-    # spark.sql.files.maxPartitionBytes small enough locally); an
-    # explicit repartition would pay an extra full exchange of raw html
-    docs = prepare_docs(pages, n_segments, fields=fields,
-                        drop_empty=drop_empty, store_cols=store_cols) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    if prepared_docs is not None:
+        # incremental-update fast path: the caller already prepared
+        # (split/pruned/tokenized/persisted) exactly the pending
+        # segments' docs and computed the stats merge from them
+        docs = prepared_docs
+    else:
+        pages = spark.read.parquet(pages_path)
+        if split_sections:
+            from ..split import split_virtual_docs
+            pages = split_virtual_docs(pages)
+        # PARTIAL resume (incremental update): when global stats are
+        # frozen on disk and only a subset of segments is missing, prune
+        # the corpus to the pending segments' pages BEFORE extraction —
+        # the expensive tokenize pass then scales with the touched
+        # fraction, not the corpus (a 1-of-32-segment update was paying
+        # ~70% of a full rebuild in prepare time, measured at 300k).
+        # Only valid when stats exist: a fresh stats pass needs every
+        # document.
+        if resume and srows is not None and pending \
+                and len(pending) < n_segments:
+            pages = pages.filter(
+                F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
+                .isin(pending))
+        # tokenized docs feed the stats pass AND every segment batch:
+        # persist to avoid re-extracting/re-tokenizing the corpus per
+        # pass (disk-backed — token arrays exceed executor memory at
+        # scale).  Extraction parallelism comes from input splits
+        # (session sets spark.sql.files.maxPartitionBytes small enough
+        # locally); an explicit repartition would pay an extra full
+        # exchange of raw html.
+        docs = prepare_docs(pages, n_segments, fields=fields,
+                            drop_empty=drop_empty, store_cols=store_cols) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase_t: dict[str, float] = {}
     t_phase = time.monotonic()
@@ -555,7 +572,7 @@ def build_index(
     elif not pending:
         a = docs.agg(*_stats_aggs(fields)).collect()[0]
         n_docs, avgdl = _write_stats(a, fields, drop_empty, split_sections,
-                                     stats_path)
+                                     stats_path, store_cols, n_segments)
         need_stats = False
     else:
         n_docs, avgdl = -1, {}  # computed inside the first batch
@@ -593,7 +610,8 @@ def build_index(
             t = time.monotonic()
             a = docs.agg(*_stats_aggs(fields)).collect()[0]
             n_docs, avgdl = _write_stats(a, fields, drop_empty,
-                                         split_sections, stats_path)
+                                         split_sections, stats_path,
+                                         store_cols, n_segments)
             need_stats = False
             phase_t["stats_sec"] = round(
                 phase_t["stats_sec"] + time.monotonic() - t, 2)
@@ -663,10 +681,16 @@ def _stats_aggs(fields):
     return aggs
 
 
-def _write_stats(a, fields, drop_empty, split_sections, stats_path):
+def _write_stats(a, fields, drop_empty, split_sections, stats_path,
+                 store_cols=(), n_segments=0):
     """Freeze global stats to ``stats/``; returns (n_docs, avgdl map
     over TEXT fields).  ``a`` is a Row or observation dict holding the
-    _stats_aggs values."""
+    _stats_aggs values.  ``store_cols`` is persisted like the rest of
+    the corpus options so resumes and incremental updates rebuild
+    segments with the SAME doc-store schema (ADVICE r5: an update of an
+    index built with store_cols previously dropped those columns from
+    rebuilt segments, leaving mixed per-segment schemas)."""
+    import json as _json
     import pyarrow as pa
     import shutil as _sh
     n_docs = a["n_docs"]
@@ -688,6 +712,12 @@ def _write_stats(a, fields, drop_empty, split_sections, stats_path):
                          if f.ftype != "date" else 0 for f in fields],
         "drop_empty": [bool(drop_empty)] * len(fields),
         "split_sections": [bool(split_sections)] * len(fields),
+        "store_cols_json": [_json.dumps(list(store_cols))] * len(fields),
+        # segment count is a physical property of the index; persisting
+        # it makes a crash-and-retry of an incremental update safe even
+        # when the crash window left segment dirs deleted (a glob over
+        # docs/ would then under-count)
+        "n_segments": np.full(len(fields), int(n_segments), np.int32),
     }), pa.schema([
         ("field", pa.string()), ("fkey", pa.int32()),
         ("weight", pa.float64()), ("is_default", pa.bool_()),
@@ -697,6 +727,8 @@ def _write_stats(a, fields, drop_empty, split_sections, stats_path):
         ("avgdl", pa.float64()), ("total_tokens", pa.int64()),
         ("drop_empty", pa.bool_()),
         ("split_sections", pa.bool_()),
+        ("store_cols_json", pa.string()),
+        ("n_segments", pa.int32()),
     ]))
     return n_docs, avgdl
 

@@ -39,6 +39,19 @@ from .builder import build_index
 
 
 def _infer_n_segments(index_dir: str) -> int:
+    """Segment count of an existing index.  Prefer the value persisted
+    in stats/ — a crash-and-retry of an update may find segment dirs
+    already deleted, so a glob over docs/ would under-count; the glob
+    remains as the fallback for pre-r6 indexes."""
+    try:
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(index_dir, "stats"),
+                          columns=["n_segments"])
+        n = int(t["n_segments"][0].as_py())
+        if n > 0:
+            return n
+    except Exception:
+        pass
     segs = glob.glob(os.path.join(index_dir, "docs", "segment=*"))
     return max(int(os.path.basename(s).split("=")[1]) for s in segs) + 1
 
@@ -73,10 +86,6 @@ def update_index(
         if since_ts is None:
             raise ValueError("need since_ts or changed_urls")
         changed_urls = pages.filter(F.col("warc_ts") > F.lit(since_ts)).select("url")
-    segs = affected_segments(spark, changed_urls, n_segments)
-    if not segs:
-        return {"segments_rebuilt": 0}
-
     # the field schema / corpus options live in stats — capture them so
     # the rebuild keeps the original contexts unless overridden
     srows = sorted(
@@ -94,7 +103,37 @@ def update_index(
     if "split_sections" in srows[0].asDict():
         build_kwargs.setdefault(
             "split_sections", bool(srows[0]["split_sections"]))
+    if "store_cols_json" in srows[0].asDict():
+        # stored doc columns (re-export merge's alt_uris/alt_modules)
+        # must survive the rebuild or rebuilt segments lose them and
+        # the doc store ends up with mixed per-segment schemas
+        import json as _json
+        build_kwargs.setdefault(
+            "store_cols", tuple(_json.loads(srows[0]["store_cols_json"])))
     fields = build_kwargs["fields"]
+    split_sections = bool(build_kwargs.get("split_sections", False))
+
+    docs_path = os.path.join(index_dir, "docs")
+    if split_sections:
+        # indexed docs are keyed url#anchor, not page url: hashing the
+        # PAGE url would miss the segments owning a changed page's
+        # virtual docs.  Affected = segments of the page's EXISTING
+        # virtual docs (doc-store lookup by base url — covers anchors
+        # the new content dropped) ∪ segments of the NEW split urls.
+        from ..split import split_virtual_docs
+        ch = changed_urls.select(F.col("url").alias("_ch_url")).distinct()
+        old_u = (spark.read.parquet(docs_path).select("url")
+                 .join(ch, F.substring_index(F.col("url"), "#", 1)
+                       == F.col("_ch_url"), "left_semi"))
+        new_u = split_virtual_docs(
+            pages.join(ch, pages["url"] == ch["_ch_url"], "left_semi")) \
+            .select("url")
+        eff_urls = old_u.unionByName(new_u)
+    else:
+        eff_urls = changed_urls
+    segs = affected_segments(spark, eff_urls, n_segments)
+    if not segs:
+        return {"segments_rebuilt": 0}
 
     # churn touching EVERY segment gains nothing from segment-wise
     # replay — a random change set of n docs touches ~S·(1-(1-1/S)^n)
@@ -106,42 +145,49 @@ def update_index(
                     n_segments=n_segments, resume=False, **build_kwargs)
         return {"segments_rebuilt": n_segments, "full_rebuild": True}
 
-    # --- incremental global-stats merge (BEFORE deleting anything):
-    # new = old − removed-segments' totals + re-prepared segments'
-    # totals.  Exact: stats carry total_tokens per field, the doc store
-    # carries dl_* per segment (a pruned columnar read — no tokenize),
-    # and only the touched fraction of the corpus is re-tokenized.
+    # --- incremental global-stats merge (IDEMPOTENT — ADVICE r5): new
+    # totals are derived from SURVIVING state, never from old-stats
+    # deltas.  new = (kept segments' dl sums from the doc store — a
+    # pruned columnar read, no tokenize) + (re-prepared touched
+    # segments' totals).  A crash-and-retry at any point (streaming
+    # foreachBatch is at-least-once) re-derives the same numbers: the
+    # kept filter excludes the touched segments whether or not they
+    # were already deleted or partially rebuilt, and the added pass is
+    # a pure function of the current pages table.
+    from pyspark import StorageLevel
     from .builder import (_stats_aggs, _write_stats, manifest_schema,
                           prepare_docs, write_meta_parquet)
     text_fields = [f for f in fields if f.ftype != "date"]
-    removed = (spark.read.parquet(os.path.join(index_dir, "docs"))
-               .filter(F.col("segment").isin(segs))
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    *[F.sum(f"dl_{f.name}").alias(f"tot_{f.name}")
-                      for f in text_fields])
-               .collect()[0])
+    kept = (spark.read.parquet(docs_path)
+            .filter(~F.col("segment").isin(segs))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.sum(f"dl_{f.name}").alias(f"tot_{f.name}")
+                   for f in text_fields])
+            .collect()[0])
     src = pages
-    if build_kwargs.get("split_sections"):
-        from ..split import split_virtual_docs
+    if split_sections:
         src = split_virtual_docs(src)
     src = src.filter(
         F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
         .isin(segs))
-    added = (prepare_docs(src, n_segments, fields=fields,
-                          drop_empty=build_kwargs.get("drop_empty", False))
-             .agg(*_stats_aggs(fields)).collect()[0])
-    a = {"n_docs": int(srows[0]["n_docs"]) - int(removed["n_docs"] or 0)
-         + int(added["n_docs"] or 0)}
+    # prepared ONCE and handed to build_index below — the touched
+    # fraction pays extraction/tokenize a single time (ADVICE r5: the
+    # old code re-derived it in build_index's partial-resume path)
+    prepared = prepare_docs(
+        src, n_segments, fields=fields,
+        drop_empty=bool(build_kwargs.get("drop_empty", False)),
+        store_cols=tuple(build_kwargs.get("store_cols", ()))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    added = prepared.agg(*_stats_aggs(fields)).collect()[0]
+    a = {"n_docs": int(kept["n_docs"] or 0) + int(added["n_docs"] or 0)}
     for f in text_fields:
-        old_tot = next(int(r["total_tokens"]) for r in srows
-                       if r["field"] == f.name)
-        tot = old_tot - int(removed[f"tot_{f.name}"] or 0) \
+        tot = int(kept[f"tot_{f.name}"] or 0) \
             + int(added[f"tot_{f.name}"] or 0)
         a[f"tot_{f.name}"] = tot
         a[f"avg_{f.name}"] = (tot / a["n_docs"]) if a["n_docs"] else 1.0
     _write_stats(a, fields, bool(build_kwargs.get("drop_empty", False)),
-                 bool(build_kwargs.get("split_sections", False)),
-                 os.path.join(index_dir, "stats"))
+                 split_sections, os.path.join(index_dir, "stats"),
+                 tuple(build_kwargs.get("store_cols", ())), n_segments)
 
     # delete-by-segment: drop data files + manifest rows
     for s in segs:
@@ -161,11 +207,11 @@ def update_index(
     else:
         os.makedirs(man_path, exist_ok=True)
 
-    # stats are frozen (merged above), so build_index resumes with the
-    # partial-corpus fast path: only the pending segments' pages are
-    # extracted/tokenized
+    # stats are frozen (merged above); the prepared relation covers
+    # exactly the pending segments, so build_index skips its own
+    # prepare pass entirely
     build_index(spark, pages_path, index_dir, n_segments=n_segments,
-                resume=True, **build_kwargs)
+                resume=True, prepared_docs=prepared, **build_kwargs)
     return {"segments_rebuilt": len(segs)}
 
 

@@ -139,8 +139,10 @@ def scrub_pii(docs: DataFrame, key: str = "doc_id",
 
     Pure JVM regexp expressions — one codegen'd projection over the
     scan, no UDF, no shuffle; counts are taken against the progressive
-    text state so a replaced span is never double-counted."""
-    col = F.col(text)
+    text state so a replaced span is never double-counted.  NULL text
+    scrubs to '' with n_pii = 0 (NULL-propagating size() would
+    otherwise poison downstream aggregations over n_pii)."""
+    col = F.coalesce(F.col(text), F.lit(""))
     n = F.lit(0).cast("long")
     for _, pat, repl in PII_PATTERNS:
         n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))

@@ -381,6 +381,22 @@ def test_scrub_pii(spark):
     assert out[4]["text_scrubbed"] == "[EMAIL] end"
 
 
+def test_scrub_pii_null_text(spark):
+    """NULL text must scrub to '' with n_pii = 0 — a NULL-propagating
+    size() would silently drop the doc from n_pii aggregations
+    (ADVICE r5)."""
+    from hayoo_spark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "ping 10.0.0.1")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.scrub_pii(docs).collect()}
+    assert out[1]["n_pii"] == 0
+    assert out[1]["text_scrubbed"] == ""
+    assert out[2]["n_pii"] == 1
+    agg = textstats.scrub_pii(docs).groupBy().sum("n_pii").collect()[0][0]
+    assert agg == 1
+
+
 def test_contamination(spark):
     from hayoo_spark.ops import dedup as D
 

@@ -205,6 +205,122 @@ def test_delete_docs_removes_and_matches_fresh_build(spark, tmp_path):
             assert abs(gs - ws) < 1e-9
 
 
+def test_update_preserves_store_cols(spark, tmp_path):
+    """An index built with store_cols must keep those doc-store columns
+    through an incremental update: store_cols is persisted in stats/
+    and recovered by update_index, so rebuilt segments carry the same
+    schema as untouched ones (ADVICE r5: mixed schemas crashed
+    _project_row)."""
+    base, delta, full = _updated_corpus(120)
+    p0 = tmp_path / "pages_v0.parquet"
+    p1 = tmp_path / "pages_v1.parquet"
+    base.to_parquet(p0, index=False)
+    full.to_parquet(p1, index=False)
+    inc = str(tmp_path / "inc")
+    build_index(spark, str(p0), inc, n_segments=4, salt_df_threshold=64,
+                store_cols=("tag",))
+    res = update_index(spark, str(p1), inc, since_ts="2025-01-01",
+                       salt_df_threshold=64)
+    assert 0 < res["segments_rebuilt"] <= 4
+    docs = spark.read.parquet(str(tmp_path / "inc" / "docs"))
+    assert "tag" in docs.columns
+    # every row (rebuilt segments included) carries the stored column
+    assert docs.filter(docs["tag"].isNull()).count() == 0
+
+
+def test_update_split_sections_removes_stale_virtual_docs(spark, tmp_path):
+    """With split_sections, indexed docs are keyed url#anchor — an
+    update that DROPS a section must purge that section's virtual doc
+    even though hash(page_url) points at a different segment
+    (ADVICE r5)."""
+    pages = fixtures.make_sectioned_pages(60)
+    p0 = tmp_path / "pages_v0.parquet"
+    p1 = tmp_path / "pages_v1.parquet"
+    pages.to_parquet(p0, index=False)
+    victim = pages["url"].iloc[0]  # page 0 has sections incl. only0x0
+    pages2 = pages.copy()
+    i = pages2.index[pages2["url"] == victim][0]
+    pages2.loc[i, "html"] = (
+        b"<html><head><title>flat</title></head>"
+        b"<body><p>flattened page no sections anymore</p></body></html>")
+    from hayoo_spark.analysis import extract_text_py
+    pages2.loc[i, "text"] = extract_text_py(pages2.loc[i, "html"])
+    pages2.to_parquet(p1, index=False)
+
+    inc = str(tmp_path / "inc")
+    build_index(spark, str(p0), inc, n_segments=4, split_sections=True,
+                salt_df_threshold=64)
+    eng0 = SearchEngine(spark, inc)
+    assert eng0.search("only0x0", k=5)  # the section doc exists pre-update
+
+    res = update_index(
+        spark, str(p1), inc,
+        changed_urls=spark.createDataFrame([(victim,)], "url string"),
+        salt_df_threshold=64)
+    assert res["segments_rebuilt"] > 0
+
+    full_ix = str(tmp_path / "full")
+    build_index(spark, str(p1), full_ix, n_segments=4, split_sections=True,
+                salt_df_threshold=64)
+    eng = SearchEngine(spark, inc)
+    ref = SearchEngine(spark, full_ix)
+    assert eng.n_docs == ref.n_docs
+    assert eng.search("only0x0", k=5) == []  # stale virtual doc purged
+    for q in ["flattened", "baba", "only3x0"]:
+        assert eng.search(q, k=20) == ref.search(q, k=20), q
+
+
+def test_update_stats_merge_idempotent_after_crash(spark, tmp_path,
+                                                   monkeypatch):
+    """Crash-and-retry safety (at-least-once foreachBatch): a retry
+    after the stats write + segment deletion but before the rebuild
+    must converge to the same stats as a fresh build — the merge
+    derives totals from surviving state, not old-stats deltas
+    (ADVICE r5: the delta form double-counted on replay)."""
+    from hayoo_spark.index import update as upd
+
+    base, delta, full = _updated_corpus(120)
+    p0 = tmp_path / "pages_v0.parquet"
+    p1 = tmp_path / "pages_v1.parquet"
+    base.to_parquet(p0, index=False)
+    full.to_parquet(p1, index=False)
+    inc = str(tmp_path / "inc")
+    build_index(spark, str(p0), inc, n_segments=4, salt_df_threshold=64)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(*a, **k):
+        raise Boom("simulated crash before segment rebuild")
+
+    monkeypatch.setattr(upd, "build_index", crash)
+    with pytest.raises(Boom):
+        update_index(spark, str(p1), inc, since_ts="2025-01-01",
+                     salt_df_threshold=64)
+    monkeypatch.undo()
+
+    # retry runs the whole update again (stats merge re-applied)
+    res = update_index(spark, str(p1), inc, since_ts="2025-01-01",
+                       salt_df_threshold=64)
+    assert res["segments_rebuilt"] > 0
+
+    full_ix = str(tmp_path / "full")
+    build_index(spark, str(p1), full_ix, n_segments=4, salt_df_threshold=64)
+    got = {r["field"]: r for r in
+           spark.read.parquet(inc + "/stats").collect()}
+    want = {r["field"]: r for r in
+            spark.read.parquet(full_ix + "/stats").collect()}
+    assert set(got) == set(want)
+    for f in want:
+        assert got[f]["n_docs"] == want[f]["n_docs"], f
+        assert got[f]["total_tokens"] == want[f]["total_tokens"], f
+        assert abs(got[f]["avgdl"] - want[f]["avgdl"]) < 1e-9, f
+    eng = SearchEngine(spark, inc)
+    ref = SearchEngine(spark, full_ix)
+    for q in UPDATE_QUERIES[:4]:
+        assert eng.search(q, k=20) == ref.search(q, k=20), q
+
+
 def test_engine_warm_preloads_rows_cache(spark, tmp_path):
     """warm() loads the df-head pairs into the raw-rows cache; warmed
     searches serve from memory and stay correct."""
