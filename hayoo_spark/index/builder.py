@@ -188,10 +188,13 @@ def extract_text(df: DataFrame, html_col: str = "html",
 
 def field_tokens_col(f: FieldSpec):
     """Token array for one field spec (see fields.FieldSpec.source)."""
-    if getattr(f, "token_mode", "tokens") == "whole":
+    mode = getattr(f, "token_mode", "tokens")
+    if mode in ("whole", "whole_cs"):
         # `.*`-regexp contexts (module/package/version): the whole
-        # trimmed value is ONE lowercased term
-        v = F.lower(F.trim(F.col(f.source).cast("string")))
+        # trimmed value is ONE term (lowercased unless the _cs variant)
+        v = F.trim(F.col(f.source).cast("string"))
+        if mode == "whole":
+            v = F.lower(v)
         return F.filter(F.array(v),
                         lambda x: x.isNotNull() & (x != ""))
     if f.source in ("sig_norm", "sig_subsig"):
@@ -218,7 +221,11 @@ def field_tokens_col(f: FieldSpec):
         # (reference module `A.B.C` -> `A B C`, FctIndexerCore.hs:38-41;
         # pkg `foo-bar` -> parts, PkgIndexerCore.hs:134-143)
         return tokens_col(F.col("url"))
-    return tokens_col(F.col(f.source))
+    # "tokens_cs": per-context case-SENSITIVE twin (the reference's
+    # contexts preserve case and the query FLAVOR decides — Hunt
+    # qWordNoCase vs qFullWord, App.hs:187-200; here a schema declares
+    # `<field>_cs` twins and `field:!Word` targets them)
+    return tokens_col(F.col(f.source), lowercase=(mode != "tokens_cs"))
 
 
 def prepare_docs(pages: DataFrame, n_segments: int,

@@ -49,7 +49,14 @@ class FieldSpec:
     ftype: str = "text"        # "text" | "date"
     #: "tokens" (the standard tokenizer) or "whole" (the trimmed,
     #: lowercased value is ONE term — the reference's `.*` context
-    #: regexp: module / package / version store full dotted paths)
+    #: regexp: module / package / version store full dotted paths).
+    #: "tokens_cs" / "whole_cs" are the case-SENSITIVE variants: the
+    #: reference's contexts preserve case with the query flavor picking
+    #: qFullWord vs qWordNoCase (App.hs:187-200); here a schema
+    #: declares a `<field>_cs` twin (e.g. FieldSpec("name_cs", 3.0,
+    #: False, "name", token_mode="tokens_cs")) and the parser routes
+    #: `name:!MapM` to it — same convention as the unscoped `!` ->
+    #: text_cs twin.
     token_mode: str = "tokens"
 
 

@@ -86,14 +86,17 @@ def _field_tokens_py(row, f: FieldSpec, from_html: bool) -> list[str]:
     """Token list for one field of one page row — signature contexts
     bypass the tokenizer (terms ARE normalized signature strings; the
     same pure function the builder's pandas UDF applies)."""
-    if getattr(f, "token_mode", "tokens") == "whole":
-        v = str(row[f.source]).strip().lower()
+    mode = getattr(f, "token_mode", "tokens")
+    if mode in ("whole", "whole_cs"):
+        v = str(row[f.source]).strip()
+        if mode == "whole":
+            v = v.lower()
         return [v] if v else []
     if f.source in ("sig_norm", "sig_subsig"):
         from .signature import index_terms
         return index_terms(row.get("signature"), f.source)
     text, lower = _field_text(row, f, from_html)
-    return tokenize_py(text, lowercase=lower)
+    return tokenize_py(text, lowercase=lower and mode != "tokens_cs")
 
 
 def build_oracle_index(

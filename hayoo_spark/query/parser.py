@@ -227,6 +227,14 @@ def _parse_atom(toks: list[str]):
             return _maybe_boost(RangeFilter(field, m[0].strip(), m[1].strip()), rest)
         if field in FILTER_FIELDS:
             return _maybe_boost(Term(val.lower(), field=field), rest)
+        if val.startswith("!") and len(val) > 1:
+            # scoped case-sensitive flavor (`name:!mapM`): the
+            # reference's contexts preserve case and the query flavor
+            # picks qFullWord vs qWordNoCase (App.hs:187-200); here the
+            # scoped `!` targets the context's case-sensitive twin
+            # `<field>_cs` (same convention as the unscoped `!` ->
+            # text_cs), composing with * and ~ like the unscoped form
+            return _maybe_boost(_word_cs(val[1:], field + "_cs"), rest)
         # unknown field -> scoped text term (context scoping, Examples.md:8-12)
         return _maybe_boost(_word(val, field), rest)
     return _maybe_boost(_word(t, DEFAULT_FIELD), rest)
@@ -249,6 +257,10 @@ def _print_leaf(word: str, marker: str, field: str, boost: float) -> str:
         s = "!" + word + marker
     elif field == DEFAULT_FIELD:
         s = word + marker
+    elif field.endswith("_cs"):
+        # scoped case-sensitive twin renders as the flavor it parses
+        # from (`name_cs` <- `name:!w`) so print->parse round-trips
+        s = f"{field[:-3]}:!{word}{marker}"
     else:
         s = f"{field}:{word}{marker}"
     return s + (_fmt_boost(boost) if boost != 1.0 else "")
@@ -349,7 +361,11 @@ def complete_queries(node: Node, completions: list[str]) -> list[str]:
 
 
 def _word(w: str, field: str) -> Node:
-    w = w.lower()
+    return _word_cs(w.lower(), field)
+
+
+def _word_cs(w: str, field: str) -> Node:
+    """Word -> leaf with case preserved (the `!` flavors)."""
     if w.endswith("*") and len(w) > 1:
         return Prefix(w[:-1], field=field)
     if w.endswith("~") and len(w) > 1:

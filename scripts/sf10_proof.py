@@ -36,6 +36,10 @@ DOCS = int(os.environ.get("SF10_DOCS", "3000000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SEGMENTS = int(os.environ.get("SF10_SEGMENTS", "64"))
 PER_BATCH = int(os.environ.get("SF10_SEGMENTS_PER_BATCH", "16"))
+# persistent index dir (tmpfs): lets the build run once and the query
+# phases re-run after query-side changes; empty -> temp dir as before
+IX_DIR = os.environ.get("SF10_IX_DIR", "")
+PHASE = os.environ.get("SF10_PHASE", "all")  # build | query | all
 
 
 def pctl(xs, p):
@@ -48,67 +52,82 @@ def main() -> None:
     from hayoo_spark.query.engine import SearchEngine
     from hayoo_spark.session import get_spark
 
+    out = os.path.join(REPO, "BENCH", "sf10.json")
     report: dict = {"docs_target": DOCS, "cpus": CPUS,
                     "n_segments": N_SEGMENTS,
                     "segments_per_batch": PER_BATCH}
+    if PHASE == "query" and os.path.exists(out):
+        with open(out) as fh:  # keep the build numbers from the build run
+            report = json.load(fh)
     t0 = time.monotonic()
     pages = _materialize_corpus(DOCS, shm=True)
-    report["corpus_materialize_sec"] = round(time.monotonic() - t0, 1)
+    if PHASE != "query":
+        report["corpus_materialize_sec"] = round(time.monotonic() - t0, 1)
 
     spark = get_spark(app_name="sf10-proof", cores=CPUS,
                       shuffle_partitions=3 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    with tempfile.TemporaryDirectory(dir=SHM_ROOT) as tmp:
-        ix = os.path.join(tmp, "ix")
-        sampler = RssSampler()
-        sampler.start()
-        t0 = time.monotonic()
-        bm = build_index(spark, pages, ix, n_segments=N_SEGMENTS,
-                         salt_df_threshold=4096, n_salts=8,
-                         segments_per_batch=PER_BATCH)
-        build_sec = time.monotonic() - t0
-        report["build"] = {**bm, "wall_sec": round(build_sec, 1),
-                           "docs_per_sec": round(DOCS / build_sec, 1)}
-        report["build_peak_rss_gb"] = round(sampler.stop() / 1048576, 2)
-
-        import pandas as pd
-        man = pd.read_parquet(os.path.join(ix, "manifest"))
-        for col in ("docs", "postings"):
-            v = man[col].astype(float)
-            report[f"seg_{col}"] = {
-                "min": int(v.min()), "median": int(v.median()),
-                "max": int(v.max()),
-                "max_over_median": round(float(v.max() / v.median()), 3),
-            }
-
-        eng = SearchEngine(spark, ix)
-        cold, warm = [], []
-        for q in ENGINE_QUERIES:
+    ctx = tempfile.TemporaryDirectory(dir=SHM_ROOT) if not IX_DIR else None
+    try:
+        ix = os.path.join(ctx.name, "ix") if ctx else IX_DIR
+        if PHASE != "query":
+            sampler = RssSampler()
+            sampler.start()
             t0 = time.monotonic()
-            eng.search(q, k=20)
-            cold.append(time.monotonic() - t0)
-            reps = []
-            for _ in range(3):
+            bm = build_index(spark, pages, ix, n_segments=N_SEGMENTS,
+                             salt_df_threshold=4096, n_salts=8,
+                             segments_per_batch=PER_BATCH)
+            build_sec = time.monotonic() - t0
+            report["build"] = {**bm, "wall_sec": round(build_sec, 1),
+                               "docs_per_sec": round(DOCS / build_sec, 1)}
+            report["build_peak_rss_gb"] = round(sampler.stop() / 1048576, 2)
+
+            import pandas as pd
+            man = pd.read_parquet(os.path.join(ix, "manifest"))
+            for col in ("docs", "postings"):
+                v = man[col].astype(float)
+                report[f"seg_{col}"] = {
+                    "min": int(v.min()), "median": int(v.median()),
+                    "max": int(v.max()),
+                    "max_over_median": round(float(v.max() / v.median()), 3),
+                }
+
+        if PHASE != "build":
+            eng = SearchEngine(spark, ix)
+            cold, warm, per_q = [], [], {}
+            for q in ENGINE_QUERIES:
                 t0 = time.monotonic()
                 eng.search(q, k=20)
-                reps.append(time.monotonic() - t0)
-            warm.append(sorted(reps)[1])
-        eng.warm(distributed=True)
-        dist_mem = []
-        for q in ENGINE_QUERIES:
-            eng.search(q, k=20, mode="spark")
-            t0 = time.monotonic()
-            eng.search(q, k=20, mode="spark")
-            dist_mem.append(time.monotonic() - t0)
-        report["query"] = {
-            "p50_ms": pctl(warm, 0.5), "p99_ms": pctl(warm, 0.99),
-            "cold_p50_ms": pctl(cold, 0.5), "cold_p99_ms": pctl(cold, 0.99),
-            "spark_mem_p50_ms": pctl(dist_mem, 0.5),
-            "spark_mem_p99_ms": pctl(dist_mem, 0.99),
-        }
+                cold.append(time.monotonic() - t0)
+                reps = []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    eng.search(q, k=20)
+                    reps.append(time.monotonic() - t0)
+                warm.append(sorted(reps)[1])
+                per_q[q] = {"cold_ms": round(1000 * cold[-1], 1),
+                            "warm_ms": round(1000 * warm[-1], 1)}
+            eng.warm(distributed=True)
+            dist_mem = []
+            for q in ENGINE_QUERIES:
+                eng.search(q, k=20, mode="spark")
+                t0 = time.monotonic()
+                eng.search(q, k=20, mode="spark")
+                dist_mem.append(time.monotonic() - t0)
+                per_q[q]["spark_mem_ms"] = round(1000 * dist_mem[-1], 1)
+            report["query"] = {
+                "p50_ms": pctl(warm, 0.5), "p99_ms": pctl(warm, 0.99),
+                "cold_p50_ms": pctl(cold, 0.5),
+                "cold_p99_ms": pctl(cold, 0.99),
+                "spark_mem_p50_ms": pctl(dist_mem, 0.5),
+                "spark_mem_p99_ms": pctl(dist_mem, 0.99),
+            }
+            report["per_query"] = per_q
+    finally:
+        if ctx:
+            ctx.cleanup()
 
-    out = os.path.join(REPO, "BENCH", "sf10.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report))

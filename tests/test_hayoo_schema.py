@@ -152,3 +152,70 @@ def test_hayoo_name_weight_outranks_description(hayoo_setup):
     eng, _ = hayoo_setup
     hits = eng.search("foobar7", k=10)
     assert hits and hits[0][0].endswith("#v:fn7")
+
+
+# ------------------------------------------------ scoped case-sensitivity
+
+#: HAYOO_FIELDS plus a case-sensitive twin of the name context — the
+#: reference's contexts preserve case with the query flavor picking
+#: qFullWord vs qWordNoCase (hayoo-server/src/Hayoo/App.hs:187-200);
+#: this engine's convention is an explicit `<field>_cs` twin context
+#: that `name:!MapM` targets (fields.py token_mode docs)
+from hayoo_spark.index.fields import FieldSpec  # noqa: E402
+
+CS_TWIN_FIELDS = HAYOO_FIELDS + (
+    FieldSpec("name_cs", 3.0, False, "name", token_mode="tokens_cs"),)
+
+CS_QUERIES = [
+    "name:!fooBar7",          # exact case hit
+    "name:!FooBar7",          # wrong case -> no hit
+    "name:!foobar7",          # wrong case -> no hit
+    "name:!fooB*",            # case-sensitive prefix over the twin
+    "name:!FooB*",            # wrong-case prefix -> no hit
+    "name:!fooBar7~",         # CS fuzzy (edit distance <= 1)
+    "name:!fooBar7 OR walrus",
+    "name:fooBar7",           # plain scoped stays no-case
+]
+
+
+@pytest.fixture(scope="module")
+def cs_setup(spark, tmp_path_factory):
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    pdf = _decl_corpus()
+    d = tmp_path_factory.mktemp("hayoocs")
+    src = str(d / "pages.parquet")
+    pdf.to_parquet(src, index=False)
+    ix = str(d / "ix")
+    build_index(spark, src, ix, n_segments=4, salt_df_threshold=64,
+                fields=CS_TWIN_FIELDS)
+    eng = SearchEngine(spark, ix)
+    oix = oracle.build_oracle_index(pdf, from_html=False,
+                                    fields=CS_TWIN_FIELDS)
+    return eng, oix
+
+
+@pytest.mark.parametrize("q", CS_QUERIES)
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_scoped_case_sensitive_rank_identity(cs_setup, q, mode):
+    eng, oix = cs_setup
+    got = eng.search(q, k=25, mode=mode)
+    want = oracle.search(oix, q, k=25)
+    assert [u for u, _ in got] == [u for u, _ in want], (
+        f"{q!r} [{mode}]\n got={got[:5]}\nwant={want[:5]}")
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, (q, gu)
+
+
+def test_scoped_case_sensitive_semantics(cs_setup):
+    eng, _ = cs_setup
+    assert eng.search("name:!fooBar7", k=5)          # exact case matches
+    assert eng.search("name:!FooBar7", k=5) == []    # wrong case: nothing
+    assert eng.search("name:!foobar7", k=5) == []
+    # the no-case scoped flavor is unaffected (dictionary is lowercase)
+    assert eng.search("name:FOOBAR7", k=5) == eng.search("name:foobar7", k=5)
+    assert eng.search("name:foobar7", k=5)
+    # prefix flavor composes
+    assert eng.search("name:!fooB*", k=30)
+    assert eng.search("name:!FooB*", k=5) == []

@@ -78,3 +78,26 @@ def test_unbalanced_paren():
 
 def test_empty():
     assert parse("") == P.And(())
+
+
+def test_scoped_case_sensitive_flavors():
+    """`field:!word` composes the scope with the `!` case flavor
+    (reference in-context case sensitivity, App.hs:187-200): targets
+    the `<field>_cs` twin with case preserved, `*`/`~` compose."""
+    assert parse("name:!MapM") == P.Term("MapM", field="name_cs")
+    assert parse("name:!fooB*") == P.Prefix("fooB", field="name_cs")
+    assert parse("name:!MapM~") == P.Fuzzy("MapM", field="name_cs")
+    assert parse("name:!MapM^2") == P.Term("MapM", field="name_cs", boost=2.0)
+    # the unscoped `!` still targets the default CS twin
+    from hayoo_spark.query.plan import CS_FIELD
+    assert parse("text:!MapM") == P.Term("MapM", field=CS_FIELD)
+    # plain scoped words stay no-case
+    assert parse("name:MapM") == P.Term("mapm", field="name")
+
+
+def test_scoped_case_sensitive_print_roundtrip():
+    from hayoo_spark.query.parser import print_query
+    for q in ("name:!MapM", "name:!fooB*", "name:!MapM~", "!MapM",
+              "name:!MapM^2.5", "name:!a AND !B OR x:!C*"):
+        ast = parse(q)
+        assert parse(print_query(ast)) == ast, q

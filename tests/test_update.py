@@ -342,3 +342,69 @@ def test_engine_warm_preloads_rows_cache(spark, tmp_path):
     assert [u for u, _ in got] == [u for u, _ in want]
     # a fully-warmed query adds no new cache entries
     assert len(eng._rows_mem) == before
+
+
+def test_snapshot_concurrent_reader_isolation(spark, tmp_path_factory):
+    """Race readers against snapshot_update: every result set observed
+    while the update runs must be rank-identical to EITHER the old OR
+    the new snapshot — never a torn mix (the Iceberg isolation property
+    the parquet+manifest shim must match, SURVEY §7 Phase 2 item 8).
+
+    Readers re-open the engine each probe (re-resolving CURRENT), so
+    they exercise the flip window as well as the mutation window."""
+    import threading
+
+    from hayoo_spark.index import snapshot
+
+    d = tmp_path_factory.mktemp("snapiso")
+    pages = fixtures.make_pages(100)
+    p_path = str(d / "pages.parquet")
+    pages.to_parquet(p_path, index=False)
+    root = str(d / "root")
+    snapshot.init_root(spark, p_path, root, n_segments=4,
+                       salt_df_threshold=64)
+
+    queries = ["baba", "bibaba OR nibaba", "changedword OR baba"]
+    before = {q: SearchEngine(spark, root).search(q, k=15)
+              for q in queries}
+
+    pages2 = pages.copy()
+    idx = pages2.index[:4]
+    for i in idx:
+        pages2.loc[i, "text"] = "changedword " + pages2.loc[i, "text"]
+        pages2.loc[i, "html"] = (
+            "<html><head><title>t</title></head><body><p>%s</p></body>"
+            "</html>" % pages2.loc[i, "text"]).encode()
+        pages2.loc[i, "warc_ts"] = pd.Timestamp("2025-06-01")
+    pages2.to_parquet(p_path, index=False)
+
+    observed: list[tuple[str, list]] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                for q in queries:
+                    eng = SearchEngine(spark, root)  # re-resolve CURRENT
+                    observed.append((q, eng.search(q, k=15)))
+        except BaseException as e:  # surface crashes as test failures
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        snapshot.snapshot_update(spark, p_path, root,
+                                 since_ts="2025-01-01",
+                                 salt_df_threshold=64)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+
+    after = {q: SearchEngine(spark, root).search(q, k=15) for q in queries}
+    assert after["changedword OR baba"] != before["changedword OR baba"]
+    assert len(observed) >= 3  # the race actually sampled the window
+    for q, res in observed:
+        assert res == before[q] or res == after[q], (
+            q, res[:3], before[q][:3], after[q][:3])
