@@ -530,7 +530,8 @@ class SearchEngine:
                 seg_rows.setdefault(seg, {})[p] = rows
         return seg_rows
 
-    def warm(self, top_terms: int = 256, distributed: bool = False) -> int:
+    def warm(self, top_terms: int = 256, distributed: bool = False,
+             positions_top: int = 32) -> int:
         """Preload the raw-rows cache with the highest-df (field, term)
         pairs over the default search fields.  ``distributed=True``
         additionally persists the shared postings relation in executor
@@ -544,8 +545,17 @@ class SearchEngine:
         maps) — this is the bounded-memory analogue: the Zipf head
         accounts for most posting bytes touched by real query logs, so
         warming it moves steady-state latency to the warm percentiles
-        without holding the whole index.  Returns pairs loaded."""
+        without holding the whole index.  Returns pairs loaded.
+
+        ``positions_top``: additionally DECODE postings + position
+        streams of the ``positions_top`` highest-df pairs per default
+        field into the cross-query decoded cache.  A phrase over
+        ubiquitous terms otherwise pays the full position-stream decode
+        on first touch (the sf10 cold tail: a Zipf-head bigram's first
+        phrase query decoded ~30x slower than its steady state) — the
+        Zipf head is exactly the set a cold heavy phrase will hit."""
         pairs: set[tuple[str, str]] = set()
+        pos_pairs: set[tuple[str, str]] = set()
         if self._dict is not None:
             for f in self.default_fields:
                 terms, dfs = self._dict.get(f, ([], np.zeros(0, np.int64)))
@@ -553,6 +563,8 @@ class SearchEngine:
                     continue
                 top = np.argsort(dfs, kind="stable")[::-1][:top_terms]
                 pairs |= {(f, terms[i]) for i in top}
+                pos_pairs |= {(f, terms[i])
+                              for i in top[:min(positions_top, len(top))]}
         else:
             # distributed dictionary: one small ordered head per field
             for f in self.default_fields:
@@ -563,6 +575,8 @@ class SearchEngine:
                 pairs |= {(f, r["term"]) for r in rows}
         if pairs:
             self._fetch_rows(pairs)
+        if pos_pairs and positions_top:
+            self._warm_positions(pos_pairs)
         if distributed:
             # serving posture for the session (an explicit opt-in: a
             # session used for BUILDS wants the opposite settings):
@@ -584,6 +598,29 @@ class SearchEngine:
                     self._post_df_persisted = True
             post.count()  # materialize the cache before serving
         return len(pairs)
+
+    def _warm_positions(self, pairs: set[tuple[str, str]]) -> None:
+        """Decode the given pairs' postings and position streams into
+        the cross-query decoded cache (wand._POSTINGS_CACHE), keyed
+        exactly as _search_local's SegmentData will key them — a later
+        query's SegmentData over the same (segment, mtime, avgdl) view
+        hits the warmed entries."""
+        seg_rows = self._fetch_rows(pairs)
+        docs_root = os.path.join(self.index_dir, "docs")
+        post_root = os.path.join(self.index_dir, "postings")
+        avgdl_key = tuple(sorted(self.avgdl.items()))
+        for seg in sorted(seg_rows):
+            raw = seg_rows[seg]
+            docs_pdf = load_segment_docs(docs_root, seg)
+            pdir = os.path.join(post_root, f"segment={seg}")
+            mt = os.path.getmtime(pdir) if os.path.exists(pdir) else 0.0
+            sd = SegmentData(None, docs_pdf,
+                             cache_key=(post_root, seg, mt, avgdl_key),
+                             raw=raw)
+            sd._avgdl = self.avgdl  # salted merges rebuild block bounds
+            for f, t in raw:
+                sd.postings(f, t)
+                sd.positions_flat(f, t)
 
     def _search_local(self, ast, needed, m):
         """Serving-tier path: cached/pyarrow segment reads on the

@@ -315,6 +315,15 @@ class SegmentData:
         rows = self._raw_postings(field, term)
         if not rows:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # an already-decoded position stream (this query's earlier
+        # chunks, a previous query, or warm(positions_top=...)) makes
+        # the filtered full stream strictly cheaper than re-slicing
+        # blocks — never decode twice what is already in cache
+        fkey = ("posflat", field, term)
+        if fkey in self._decoded or (
+                self._cache_key
+                and (self._cache_key + fkey) in _POSTINGS_CACHE):
+            return self._filter_flat(field, term, cand)
         # strategy choice: selective block slicing pays off only when
         # candidates touch a minority of blocks in every sub-list;
         # otherwise the cross-query-cached full decode + filter wins
@@ -757,6 +766,12 @@ class SegmentEvaluator:
         while pos < len(order):
             take = order[pos : pos + chunk]
             pos += chunk
+            # geometric growth: a phrase whose candidates rarely verify
+            # (ubiquitous terms, scarce adjacency) must not pay the
+            # per-chunk filtered-stream pass |cand|/chunk times — with
+            # doubling, the exhaust-everything worst case costs
+            # O(log |cand|) passes for at most 2x over-verification
+            chunk = min(2 * chunk, 1 << 16)
             docs_chunk = np.sort(all_ids[take])
             chunk_sc = np.zeros(len(docs_chunk))
             chunk_hit = np.zeros(len(docs_chunk), dtype=bool)

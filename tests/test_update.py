@@ -408,3 +408,34 @@ def test_snapshot_concurrent_reader_isolation(spark, tmp_path_factory):
     for q, res in observed:
         assert res == before[q] or res == after[q], (
             q, res[:3], before[q][:3], after[q][:3])
+
+
+def test_engine_warm_positions_prewarms_phrase_decode(spark, tmp_path):
+    """warm(positions_top=N) decodes the Zipf head's position streams
+    into the cross-query cache: the FIRST phrase query after warm must
+    add no posflat entries for warmed terms and stay rank-identical."""
+    import hayoo_spark.query.wand as W
+
+    pages = fixtures.make_pages(200)
+    src = tmp_path / "pages.parquet"
+    pages.to_parquet(src, index=False)
+    ixdir = str(tmp_path / "ix")
+    build_index(spark, str(src), ixdir, n_segments=4, salt_df_threshold=64)
+
+    eng0 = SearchEngine(spark, ixdir)
+    want = eng0.search('"baba baba"', k=10)
+
+    W._POSTINGS_CACHE.clear()
+    eng = SearchEngine(spark, ixdir)
+    eng.warm(top_terms=32, positions_top=8)
+    warmed = {k for k in W._POSTINGS_CACHE if "posflat" in k}
+    assert any("baba" in str(k) for k in warmed)  # the head term is in
+    n_before = len(warmed)
+    got = eng.search('"baba baba"', k=10)
+    assert got == want
+    after = {k for k in W._POSTINGS_CACHE if "posflat" in k}
+    # the phrase terms' streams were already decoded — no new entries
+    # for the warmed (field, term) pairs
+    assert {k for k in after if "baba" in str(k)} == \
+        {k for k in warmed if "baba" in str(k)}
+    assert len(after) >= n_before
