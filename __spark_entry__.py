@@ -19,7 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hayoo_spark.analysis import MIN_TOKEN_LEN, TOKEN_RE, tokens_col
+from hayoo_spark.analysis import (MIN_TOKEN_LEN, TOKEN_RE, TOKEN_RE_CS,
+                                  tokens_col)
 from hayoo_spark.ops import dedup, graph, similarity, textstats
 from hayoo_spark.query import relational
 
@@ -192,6 +193,31 @@ def q_boost(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib") * 10000).cast("bigint").alias("score_x1e4"))
     )
+
+
+def q_case_sensitive(spark, sf_dir):
+    """Q1-family case-sensitive flavor (the `!` / `<field>_cs`-twin
+    path, parser.py `_word_cs`): tokens are NOT lowercased, so only
+    exact-case occurrences match.  The corpus is all-lowercase, so a
+    deterministic case mutation per doc_id class creates the signal
+    (doc_id % 3 == 0 capitalizes 'spark'); the oracle mutates the same
+    way.  Output: per-doc exact-case vs folded counts where the
+    case-sensitive term matches."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    mut = F.when(k % 3 == 0,
+                 F.regexp_replace(F.col("text"), "spark", "Spark")) \
+        .otherwise(F.col("text"))
+    toks = docs.select(k.alias("doc_id"),
+                       F.explode(tokens_col(mut, lowercase=False))
+                       .alias("term"))
+    return (toks.groupBy("doc_id")
+            .agg(F.sum((F.col("term") == "Spark").cast("long"))
+                 .alias("n_cs"),
+                 F.sum((F.lower("term") == "spark").cast("long"))
+                 .alias("n_ci"))
+            .filter(F.col("n_cs") > 0)
+            .orderBy("doc_id"))
 
 
 def q_field_weighted(spark, sf_dir):
@@ -856,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fingerprint": t_fingerprint,
         "t_pii_scrub": t_pii_scrub,
         "d_contamination": d_contamination,
+        "q_case_sensitive": q_case_sensitive,
     }
 
 
@@ -995,6 +1022,24 @@ SELECT term, df FROM d ORDER BY df DESC, term LIMIT 10"""
         "tf.term IN ('spark','join')",
         weight="(CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 0.5 END)") + \
         "SELECT doc_id, score_x1e4 FROM scores"
+    sql["q_case_sensitive"] = f"""
+WITH m AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                      THEN replace(text, 'spark', 'Spark')
+                      ELSE text END AS text
+  FROM documents),
+t AS (
+  SELECT doc_id, x.term
+  FROM m, UNNEST(regexp_extract_all(text, '{TOKEN_RE_CS}')) AS x(term)
+  WHERE length(x.term) >= {MIN_TOKEN_LEN})
+SELECT doc_id,
+       CAST(sum(CASE WHEN term = 'Spark' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cs,
+       CAST(sum(CASE WHEN lower(term) = 'spark' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ci
+FROM t GROUP BY doc_id
+HAVING sum(CASE WHEN term = 'Spark' THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id"""
     sql["q_field_weighted"] = f"""
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
