@@ -66,7 +66,8 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  mode: str = "local",
                  dict_cache_bytes: int = DICT_CACHE_BYTES,
-                 rows_cache_bytes: int = ROWS_CACHE_BYTES):
+                 rows_cache_bytes: int = ROWS_CACHE_BYTES,
+                 segments: tuple[int, ...] | None = None):
         from ..index import snapshot
         self.spark = spark
         # a snapshot root resolves to its live version ONCE here — the
@@ -126,6 +127,17 @@ class SearchEngine:
         self._segments = sorted(
             int(os.path.basename(p).split("=")[1]) for p in
             glob.glob(os.path.join(index_dir, "docs", "segment=*")))
+        # segment-sharded serving: an engine restricted to a slice of
+        # the segment universe is the per-PROCESS scale-out unit (the
+        # GIL bounds one process's evaluation throughput; the reference
+        # scales by running more Hunt servers, Makefile:32-34).  Shards
+        # score with GLOBAL df/avgdl (terms/ and stats/ are corpus-
+        # wide), so a merge of shard top-k lists is exactly the
+        # unsharded top-k.
+        self._sharded = segments is not None
+        if segments is not None:
+            wanted = set(int(s) for s in segments)
+            self._segments = [s for s in self._segments if s in wanted]
         # serving-tier raw-rows cache: (field, term) -> {segment: [row]}
         # (LRU by encoded bytes; invalidated when any postings segment
         # dir changes — same mtime contract as the decoded cache)
@@ -464,10 +476,12 @@ class SearchEngine:
         row-group-pruned via the term filter since postings are
         term-sorted per file.  Called WITHOUT the engine lock held."""
         import pyarrow.parquet as pq
+        filters = [("term", "in", sorted({t for _, t in missing})),
+                   ("field", "in", sorted({f for f, _ in missing}))]
+        if self._sharded:  # shard engines read only their slice's dirs
+            filters.append(("segment", "in", list(self._segments)))
         tbl = pq.read_table(
-            os.path.join(self.index_dir, "postings"),
-            filters=[("term", "in", sorted({t for _, t in missing})),
-                     ("field", "in", sorted({f for f, _ in missing}))],
+            os.path.join(self.index_dir, "postings"), filters=filters,
         ).to_pandas()
         got: dict[tuple[str, str], dict[int, list]] = \
             {p: {} for p in missing}
@@ -531,7 +545,8 @@ class SearchEngine:
         return seg_rows
 
     def warm(self, top_terms: int = 256, distributed: bool = False,
-             positions_top: int = 32) -> int:
+             positions_top: int = 32,
+             shuffle_partitions: int | None = None) -> int:
         """Preload the raw-rows cache with the highest-df (field, term)
         pairs over the default search fields.  ``distributed=True``
         additionally persists the shared postings relation in executor
@@ -584,13 +599,25 @@ class SearchEngine:
             #   small 2-stage jobs (measured on the 30k bench index:
             #   730 -> 427 ms p50) — AQE pays off on big build
             #   shuffles, not on latency-critical point queries;
-            # - few shuffle partitions: scheduling 32 reduce tasks
-            #   costs more than evaluating a handful of tiny groups
-            #   serially (427 -> 300 ms at 8).  A real cluster sizes
-            #   this to its executor count.
+            # - shuffle partitions sized to the work: at bench scale
+            #   scheduling 32 reduce tasks costs more than evaluating a
+            #   handful of tiny groups serially (427 -> 300 ms at 8);
+            #   at 1M+ docs per-group evaluation dominates scheduling,
+            #   so the grouped-map fan-out wants ~one task per segment
+            #   (8 partitions over 64 big segments serialized 8 groups
+            #   per core and left 3/4 of the box idle).  A real cluster
+            #   sizes this to its executor count.
+            if shuffle_partitions is None:
+                if self.n_docs >= 1_000_000:
+                    par = self.spark.sparkContext.defaultParallelism
+                    shuffle_partitions = min(len(self._segments),
+                                             max(SERVING_SHUFFLE_PARTITIONS,
+                                                 2 * par))
+                else:
+                    shuffle_partitions = SERVING_SHUFFLE_PARTITIONS
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
             self.spark.conf.set("spark.sql.shuffle.partitions",
-                                str(SERVING_SHUFFLE_PARTITIONS))
+                                str(shuffle_partitions))
             post = self._postings_df()
             with self._lock:
                 if not self._post_df_persisted:
@@ -635,7 +662,13 @@ class SearchEngine:
         seg_rows = self._fetch_rows(set(needed))
         is_phrase = isinstance(ast, P.Phrase)
         prunable = flat is not None or is_phrase
-        segs = sorted(seg_rows) if prunable else self._segments
+        if prunable:
+            segs = sorted(seg_rows)
+            if self._sharded:
+                mine = set(self._segments)
+                segs = [s for s in segs if s in mine]
+        else:
+            segs = self._segments
 
         post_root = os.path.join(self.index_dir, "postings")
 

@@ -34,6 +34,11 @@ from bench import SHM_ROOT, _materialize_corpus  # noqa: E402
 DOCS = int(os.environ.get("DD_DOCS", "300000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("DD_REPS", "5"))
+N_SEGMENTS = int(os.environ.get("DD_SEGMENTS", "32"))
+# BENCH/drilldown_<label>.json; 3M runs pass DD_LABEL=3m (VERDICT r5
+# item 3: the A/B at the scale where the bound loop is the production
+# route — per-segment lists exceed the EXHAUSTIVE_POSTINGS floor)
+LABEL = os.environ.get("DD_LABEL", "300k")
 
 
 def queries() -> list[tuple[str, str]]:
@@ -116,8 +121,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory(dir=SHM_ROOT) as tmp:
         ix = os.path.join(tmp, "ix")
         t0 = time.monotonic()
-        build_index(spark, pages, ix, n_segments=32,
-                    salt_df_threshold=4096, n_salts=8, fields=fields)
+        build_index(spark, pages, ix, n_segments=N_SEGMENTS,
+                    salt_df_threshold=4096, n_salts=8, fields=fields,
+                    segments_per_batch=16 if DOCS >= 10**6 else None)
         build_sec = round(time.monotonic() - t0, 1)
         eng = SearchEngine(spark, ix)
 
@@ -140,10 +146,13 @@ def main() -> None:
                        for (_, a), (_, b) in zip(new, old)), \
                 f"score drift for {kind}: {q}"
 
+    from hayoo_spark.query import wand as W
     blob = {
         "docs": DOCS,
         "cores": CPUS,
         "reps": REPS,
+        "n_segments": N_SEGMENTS,
+        "exhaustive_postings_floor": W.EXHAUSTIVE_POSTINGS,
         "build_sec": build_sec,
         "fields": "title(2.5,default) text(1.0,default) cat(0,filter)",
         "warm_ms_pruned": pruned,
@@ -152,7 +161,8 @@ def main() -> None:
                     for k in pruned if pruned[k] > 0},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "drilldown_300k.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH",
+                           f"drilldown_{LABEL}.json"), "w") as fh:
         json.dump(blob, fh, indent=2)
     print(json.dumps(blob))
 

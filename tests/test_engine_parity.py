@@ -145,3 +145,35 @@ def test_concurrent_searches_are_consistent(engine, oracle_ix):
     m = engine.metrics()["searches"]
     assert m["count"] == before + len(qs) * 3
     assert m["max"] >= m["p50"] >= 0.0 and m["sum"] > 0.0
+
+
+def test_sharded_engines_union_equals_unsharded(spark, tmp_path):
+    """Segment-sharded serving (the per-process scale-out unit): the
+    merged top-k over disjoint shard engines must equal the unsharded
+    engine exactly — shards score with GLOBAL df/avgdl, so the merge is
+    a pure (-score, url) sort."""
+    from hayoo_spark import fixtures
+    from hayoo_spark.index.builder import build_index
+    from hayoo_spark.query.engine import SearchEngine
+
+    pages = fixtures.make_pages(250)
+    src = tmp_path / "pages.parquet"
+    pages.to_parquet(src, index=False)
+    ix = str(tmp_path / "ix")
+    build_index(spark, str(src), ix, n_segments=4, salt_df_threshold=64)
+
+    full = SearchEngine(spark, ix)
+    shards = [SearchEngine(spark, ix, segments=(0, 1)),
+              SearchEngine(spark, ix, segments=(2, 3))]
+    for q in ["baba", "bibaba AND nibaba", "bib*", '"baba baba"',
+              "lang:de AND baba", "baba AND NOT nibaba", "rasase"]:
+        want = full.search(q, k=12)
+        parts = []
+        for sh in shards:
+            parts.extend(sh.search(q, k=12))
+        merged = sorted(parts, key=lambda t: (-t[1], t[0]))[:12]
+        assert merged == want, q
+    # shard disjointness: no url served by both shards
+    a = {u for u, _ in shards[0].search("baba", k=100)}
+    b = {u for u, _ in shards[1].search("baba", k=100)}
+    assert not (a & b)
