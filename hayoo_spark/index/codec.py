@@ -57,6 +57,12 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    # fast path: position streams are within-doc gaps, almost always
+    # < 128 — a buffer with no continuation bytes decodes as itself
+    # (one compare+reduce pass instead of the grouped-decode passes;
+    # measured ~10x on the 3M cold-phrase tail)
+    if not (raw & 0x80).any():
+        return raw.astype(np.uint64)
     is_last = (raw & 0x80) == 0
     ends = np.flatnonzero(is_last)                   # index of last byte per value
     starts = np.concatenate(([0], ends[:-1] + 1))

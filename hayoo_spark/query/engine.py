@@ -341,6 +341,20 @@ class SearchEngine:
             out |= self._scoring_pairs(node.left) | self._scoring_pairs(node.right)
         return out
 
+    def _phrase_pairs(self, node: P.Node) -> set[tuple[str, str]]:
+        """(field, term) pairs that appear inside Phrase nodes — the set
+        whose POSITION streams a query can touch."""
+        out: set[tuple[str, str]] = set()
+        if isinstance(node, P.Phrase):
+            for t in node.terms:
+                out.update((f, t) for f in self._expand_fields(node.field))
+        elif isinstance(node, (P.And, P.Or)):
+            for c in node.children:
+                out |= self._phrase_pairs(c)
+        elif isinstance(node, P.AndNot):
+            out |= self._phrase_pairs(node.left) | self._phrase_pairs(node.right)
+        return out
+
     def _idf_map(self, pairs: set[tuple[str, str]]) -> dict:
         if not pairs:
             return {}
@@ -633,10 +647,27 @@ class SearchEngine:
         query's SegmentData over the same (segment, mtime, avgdl) view
         hits the warmed entries."""
         seg_rows = self._fetch_rows(pairs)
+        self._decode_positions_parallel(seg_rows)
+
+    def _decode_positions_parallel(
+            self, seg_rows: dict[int, dict],
+            only: set[tuple[str, str]] | None = None) -> None:
+        """Decode postings + position streams into the cross-query cache
+        (wand._POSTINGS_CACHE), keyed exactly as _search_local's
+        SegmentData will key them, fanned out over a THREAD pool.
+
+        Unlike segment evaluation (python-heavy small batches — r5
+        measured threads 3x slower), the decode is big-array numpy
+        (varbyte masks, cumsum, repeat) that releases the GIL, so
+        threads scale it: the 3M cold-phrase decode dropped ~4x.
+        ``only`` restricts to a subset of the fetched pairs."""
+        from concurrent.futures import ThreadPoolExecutor
+
         docs_root = os.path.join(self.index_dir, "docs")
         post_root = os.path.join(self.index_dir, "postings")
         avgdl_key = tuple(sorted(self.avgdl.items()))
-        for seg in sorted(seg_rows):
+
+        def one(seg: int) -> None:
             raw = seg_rows[seg]
             docs_pdf = load_segment_docs(docs_root, seg)
             pdir = os.path.join(post_root, f"segment={seg}")
@@ -646,8 +677,79 @@ class SearchEngine:
                              raw=raw)
             sd._avgdl = self.avgdl  # salted merges rebuild block bounds
             for f, t in raw:
+                if only is not None and (f, t) not in only:
+                    continue
                 sd.postings(f, t)
                 sd.positions_flat(f, t)
+
+        segs = sorted(seg_rows)
+        if len(segs) <= 1:
+            for s in segs:
+                one(s)
+            return
+        with ThreadPoolExecutor(max_workers=min(16, len(segs))) as ex:
+            list(ex.map(one, segs))
+
+    #: a phrase term's position streams are pre-decoded in parallel
+    #: before the serial segment loop when (a) the phrase's rarest term
+    #: still has >= this many postings per segment (the candidate set
+    #: is DENSE, so positions_for will fall back to the full decode
+    #: anyway) and (b) the term's own stream is big enough to matter.
+    PHRASE_PREWARM_CAND_PER_SEG = int(os.environ.get(
+        "HAYOO_PHRASE_PREWARM_CAND", "64"))
+    PHRASE_PREWARM_MIN_BYTES = int(os.environ.get(
+        "HAYOO_PHRASE_PREWARM_BYTES", str(1 << 21)))
+
+    def _prewarm_phrase_positions(self, ast, seg_rows: dict) -> None:
+        """Cold-phrase tail killer (VERDICT r5 item 1): a heavy phrase's
+        first touch decodes ubiquitous terms' whole position streams
+        serially per segment.  Identify the (field, term) pairs whose
+        decode is both INEVITABLE (dense candidates) and LARGE, and run
+        those decodes across segments on the GIL-releasing thread pool
+        first; the serial evaluation then hits the decoded cache."""
+        if self._dict is None or not seg_rows:
+            return
+        phrases = self._collect_phrases(ast)
+        if not phrases:
+            return
+        n_segs = max(1, len(seg_rows))
+        heavy: set[tuple[str, str]] = set()
+        for node in phrases:
+            for f in self._expand_fields(node.field):
+                tl, dfs = self._dict.get(f, ([], np.zeros(0, np.int64)))
+                term_df = {}
+                for t in node.terms:
+                    i = bisect.bisect_left(tl, t)
+                    term_df[t] = (int(dfs[i])
+                                  if i < len(tl) and tl[i] == t else 0)
+                if not term_df or (min(term_df.values()) / n_segs
+                                   < self.PHRASE_PREWARM_CAND_PER_SEG):
+                    continue  # sparse candidates: selective path wins
+                heavy.update((f, t) for t in node.terms)
+        if not heavy:
+            return
+        sizes = {p: 0 for p in heavy}
+        for raw in seg_rows.values():
+            for p in heavy:
+                for r in raw.get(p, ()):
+                    sizes[p] += len(r.pos_vb)
+        only = {p for p, b in sizes.items()
+                if b >= self.PHRASE_PREWARM_MIN_BYTES}
+        if only:
+            self._decode_positions_parallel(seg_rows, only=only)
+
+    @staticmethod
+    def _collect_phrases(node) -> list:
+        out = []
+        if isinstance(node, P.Phrase):
+            out.append(node)
+        elif isinstance(node, (P.And, P.Or)):
+            for c in node.children:
+                out.extend(SearchEngine._collect_phrases(c))
+        elif isinstance(node, P.AndNot):
+            out.extend(SearchEngine._collect_phrases(node.left))
+            out.extend(SearchEngine._collect_phrases(node.right))
+        return out
 
     def _search_local(self, ast, needed, m):
         """Serving-tier path: cached/pyarrow segment reads on the
@@ -660,6 +762,7 @@ class SearchEngine:
         docs_root = os.path.join(self.index_dir, "docs")
 
         seg_rows = self._fetch_rows(set(needed))
+        self._prewarm_phrase_positions(ast, seg_rows)
         is_phrase = isinstance(ast, P.Phrase)
         prunable = flat is not None or is_phrase
         if prunable:

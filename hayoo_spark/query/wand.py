@@ -53,6 +53,27 @@ EXHAUSTIVE_POSTINGS = int(_os.environ.get("HAYOO_WAND_MIN_POSTINGS",
                                           str(1 << 16)))
 
 
+def _isect_sorted(a: np.ndarray, b: np.ndarray,
+                  indices: bool = False):
+    """Intersection of two SORTED-UNIQUE int arrays via searchsorted —
+    no argsort of the concatenation (np.intersect1d's plan), which
+    dominated the heavy-phrase profile at 3M docs.  With
+    ``indices=True`` returns (common, idx_a, idx_b) like
+    np.intersect1d(..., return_indices=True)."""
+    if len(a) > len(b):
+        if indices:
+            common, ib, ia = _isect_sorted(b, a, indices=True)
+            return common, ia, ib
+        return _isect_sorted(b, a)
+    idx = np.searchsorted(b, a)
+    ok = idx < len(b)
+    ok[ok] = b[idx[ok]] == a[ok]
+    if indices:
+        ia = np.flatnonzero(ok)
+        return a[ok], ia, idx[ia]
+    return a[ok]
+
+
 class SegmentDocs:
     """Prepared (doc_id-ordered numpy) view of one segment's doc table.
 
@@ -60,8 +81,8 @@ class SegmentDocs:
     (docs store one ``dl_<field>`` column per field — BM25F norms are
     per field).  A plain ``dl`` column is accepted as field "text"."""
 
-    __slots__ = ("n_docs", "urls", "urls_monotone", "langs", "langs_lc",
-                 "urls_lc", "warc_ts", "dls", "boost", "max_boost",
+    __slots__ = ("n_docs", "urls", "urls_monotone", "langs", "_langs_lc",
+                 "_urls_lc", "warc_ts", "dls", "boost", "max_boost",
                  "extra")
 
     _KNOWN = ("doc_id", "url", "lang", "warc_ts", "boost", "dl")
@@ -85,9 +106,11 @@ class SegmentDocs:
         # filter comparisons are case-insensitive on BOTH sides (the
         # oracle and the docs-scan path lowercase the stored value;
         # mixed-case data must match identically here — ADVICE r1).
-        # Precomputed once per cached SegmentDocs, shared across queries.
-        self.langs_lc = pdf["lang"].str.lower().to_numpy(object)
-        self.urls_lc = pdf["url"].str.lower().to_numpy(object)
+        # Lowercased LAZILY on first filter query (then cached with the
+        # SegmentDocs): eager str.lower over every url was ~40% of the
+        # per-segment docs-load cost that gates cold queries at 3M.
+        self._langs_lc = None
+        self._urls_lc = None
         self.warc_ts = pdf["warc_ts"].to_numpy()
         self.dls = {c[3:]: pdf[c].to_numpy(np.float64)
                     for c in pdf.columns if c.startswith("dl_")}
@@ -100,6 +123,20 @@ class SegmentDocs:
         else:
             self.boost = np.ones(self.n_docs, np.float64)
         self.max_boost = float(self.boost.max()) if self.n_docs else 1.0
+
+    @property
+    def langs_lc(self) -> np.ndarray:
+        if self._langs_lc is None:
+            self._langs_lc = pd.Series(self.langs).str.lower(
+                ).to_numpy(object)
+        return self._langs_lc
+
+    @property
+    def urls_lc(self) -> np.ndarray:
+        if self._urls_lc is None:
+            self._urls_lc = pd.Series(self.urls).str.lower(
+                ).to_numpy(object)
+        return self._urls_lc
 
 
 def docs_loaded(docs_root: str, segment: int) -> bool:
@@ -154,8 +191,7 @@ class SegmentData:
         self.urls = docs.urls
         self.urls_monotone = getattr(docs, "urls_monotone", False)
         self.langs = docs.langs
-        self.langs_lc = docs.langs_lc
-        self.urls_lc = docs.urls_lc
+        self._docs = docs  # _lc views resolved lazily (filter queries)
         self.warc_ts = docs.warc_ts
         self.dls = docs.dls
         self.boost = docs.boost
@@ -173,6 +209,14 @@ class SegmentData:
                 f = row.field if has_field else "text"
                 self._raw.setdefault((f, row.term), []).append(row)
         self._decoded: dict[tuple, tuple] = {}
+
+    @property
+    def langs_lc(self) -> np.ndarray:
+        return self._docs.langs_lc
+
+    @property
+    def urls_lc(self) -> np.ndarray:
+        return self._docs.urls_lc
 
     def postings(self, field: str, term: str):
         """(doc_ids int64 sorted, tfs int64, block_last, block_ub) —
@@ -238,11 +282,16 @@ class SegmentData:
         self._decoded[key] = subs
         return subs
 
-    def positions_flat(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_rep, abs_pos) — every occurrence of the term in the
-        segment as parallel arrays.  Segmented delta->absolute decode is
-        a single global cumsum with per-doc base correction: zero
-        per-doc Python."""
+    def positions_flat(self, field: str, term: str,
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Run-length position store: ``(ids, offs, pos)`` — doc ids
+        (one per run, concatenated sub-lists), run boundaries into
+        ``pos`` (len(ids)+1), and every absolute position.  Segmented
+        delta->absolute decode is a single global cumsum with per-doc
+        base correction: zero per-doc Python.  Run-length (not a
+        repeated doc column) keeps the heavy-term decode to TWO
+        stream-sized passes — the 3M cold-phrase profile showed the
+        occurrence-granularity doc_rep repeat dominating."""
         key = ("posflat", field, term)
         if key in self._decoded:
             return self._decoded[key]
@@ -253,20 +302,31 @@ class SegmentData:
             if hit is not None:
                 self._decoded[key] = hit
                 return hit
-        doc_parts, pos_parts = [], []
+        id_parts, tf_parts, pos_parts = [], [], []
         for ids, flat, offs in self._pos_index(field, term):
             if len(flat) == 0:
                 continue
-            g = np.cumsum(flat.astype(np.int64))
+            g = np.cumsum(flat, dtype=np.int64)
             tfs = np.diff(offs)
-            prev = np.where(offs[:-1] > 0, g[np.maximum(offs[:-1] - 1, 0)], 0)
+            # per-doc base = running total just before the doc's first
+            # occurrence; offs[0] is always 0, every later offset is
+            # positive, so only the first slot needs the zero special
+            # case (no where/maximum passes over the full array)
+            prev = np.empty(len(tfs), np.int64)
+            prev[0] = 0
+            prev[1:] = g[offs[1:-1] - 1]
             abs_pos = g - np.repeat(prev, tfs)
-            doc_parts.append(np.repeat(ids, tfs))
+            id_parts.append(ids)
+            tf_parts.append(tfs)
             pos_parts.append(abs_pos)
-        if doc_parts:
-            out = (np.concatenate(doc_parts), np.concatenate(pos_parts))
+        if id_parts:
+            tfs_all = np.concatenate(tf_parts)
+            out = (np.concatenate(id_parts),
+                   np.concatenate(([0], np.cumsum(tfs_all))),
+                   np.concatenate(pos_parts))
         else:
-            out = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            out = (np.zeros(0, np.int64), np.zeros(1, np.int64),
+                   np.zeros(0, np.int64))
         self._decoded[key] = out
         if gkey:
             with _POSTINGS_CACHE_LOCK:
@@ -380,31 +440,26 @@ class SegmentData:
         return ok
 
     def _filter_flat(self, field: str, term: str, cand: np.ndarray):
-        docs_r, pos_r = self.positions_flat(field, term)
-        # membership at DOC granularity, not occurrence granularity:
-        # the repeated stream of a heavy term is Σtf long while its
-        # doc run-length form is df long (10-50x smaller searchsorted);
-        # runs are well-defined because each doc's occurrences are
-        # contiguous in the flat stream (ids sorted within a row,
-        # salted rows doc-disjoint).  Run metadata cached with the
-        # decode.
-        mkey = ("posflatmeta", field, term)
-        meta = self._decoded.get(mkey)
-        if meta is None:
-            if len(docs_r) == 0:
-                meta = (np.zeros(0, np.int64), np.zeros(0, np.int64))
-            else:
-                change = np.flatnonzero(np.diff(docs_r) != 0)
-                starts = np.concatenate(([0], change + 1))
-                ids_all = docs_r[starts]
-                tfs_all = np.diff(np.concatenate((starts, [len(docs_r)])))
-                meta = (ids_all, tfs_all)
-            self._decoded[mkey] = meta
-        ids_all, tfs_all = meta
+        """Occurrence stream restricted to `cand` docs, cut from the
+        run-length posflat store.  Membership runs at DOC granularity
+        (df-sized), and every materialized array is sized to the
+        FILTERED subset — a chunked phrase verify over a heavy term no
+        longer pays a Σtf-sized pass per chunk."""
+        ids_all, offs, pos = self.positions_flat(field, term)
         if len(ids_all) == 0:
-            return docs_r, pos_r
-        keep = np.repeat(self._member_mask_rep(ids_all, cand), tfs_all)
-        return docs_r[keep], pos_r[keep]
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        keep = self._member_mask_rep(ids_all, cand)
+        starts = offs[:-1][keep]
+        lens = offs[1:][keep] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # vectorized multi-range gather: arange over the output with a
+        # per-run base shift
+        shift = np.concatenate(([0], np.cumsum(lens[:-1])))
+        idx = np.arange(total, dtype=np.int64) + np.repeat(starts - shift,
+                                                           lens)
+        return np.repeat(ids_all[keep], lens), pos[idx]
 
     def term_scores(self, field: str, term: str, idf: float):
         """Per-posting scores incl. the per-document static boost
@@ -676,8 +731,7 @@ class SegmentEvaluator:
         cand = None
         for t in terms:
             tids, _, _, _ = self.seg.postings(field, t)
-            cand = tids if cand is None else np.intersect1d(
-                cand, tids, assume_unique=True)
+            cand = tids if cand is None else _isect_sorted(cand, tids)
             if cand.size == 0:
                 break
         return cand if cand is not None else np.zeros(0, np.int64)
@@ -693,16 +747,20 @@ class SegmentEvaluator:
         if cand.size == 0:
             return np.zeros(0, np.int64)
         keys = None
+        streams: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for i, t in enumerate(terms):
-            docs_r, pos_r = self.seg.positions_for(field, t, cand)
+            got = streams.get(t)  # self-phrases decode each term ONCE
+            if got is None:
+                got = streams[t] = self.seg.positions_for(field, t, cand)
+            docs_r, pos_r = got
             if i > 0:
                 mask = pos_r >= i
                 docs_r, pos_r = docs_r[mask], pos_r[mask]
             k = np.unique(docs_r * np.int64(1 << 32) + (pos_r - i))
-            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            keys = k if keys is None else _isect_sorted(keys, k)
             if keys.size == 0:
                 return np.zeros(0, np.int64)
-        return np.unique(keys // np.int64(1 << 32)).astype(np.int64)
+        return np.unique(keys >> np.int64(32)).astype(np.int64)
 
     def _eval_phrase_field(self, node: P.Phrase, field: str):
         s = self.seg
@@ -716,8 +774,7 @@ class SegmentEvaluator:
         w = self.weights[field]
         for t in node.terms:
             tids, tsc = s.term_scores(field, t, self.idf.get((field, t), 0.0))
-            _, ia, ib = np.intersect1d(ids, tids, assume_unique=True,
-                                       return_indices=True)
+            _, ia, ib = _isect_sorted(ids, tids, indices=True)
             add = np.zeros(len(ids))
             add[ia] = tsc[ib]
             sc = sc + node.boost * w * add
@@ -747,8 +804,7 @@ class SegmentEvaluator:
             sc = np.zeros(len(cand))
             for t in node.terms:
                 tids, tsc = s.term_scores(f, t, self.idf.get((f, t), 0.0))
-                _, ia, ib = np.intersect1d(cand, tids, assume_unique=True,
-                                           return_indices=True)
+                _, ia, ib = _isect_sorted(cand, tids, indices=True)
                 sc[ia] += node.boost * self.weights[f] * tsc[ib]
             per_field.append((f, cand, sc))
         if not per_field:
@@ -776,7 +832,7 @@ class SegmentEvaluator:
             chunk_sc = np.zeros(len(docs_chunk))
             chunk_hit = np.zeros(len(docs_chunk), dtype=bool)
             for f, c, sc in per_field:
-                sub = np.intersect1d(docs_chunk, c, assume_unique=True)
+                sub = _isect_sorted(docs_chunk, c)
                 matched = self._phrase_match_docs(node.terms, f, sub)
                 if matched.size == 0:
                     continue
@@ -895,8 +951,7 @@ class SegmentEvaluator:
                     return empty
                 gids = (parts[0] if len(parts) == 1
                         else np.unique(np.concatenate(parts)))
-                ids = gids if ids is None else np.intersect1d(
-                    ids, gids, assume_unique=True)
+                ids = gids if ids is None else _isect_sorted(ids, gids)
                 if ids.size == 0:
                     return empty
             # phrases: adjacency verified ONLY on the intersected
@@ -909,7 +964,7 @@ class SegmentEvaluator:
                         None if ph.field == P.DEFAULT_FIELD else ph.field):
                     cand = self._phrase_cand(ph.terms, f)
                     if ids is not None and cand.size:
-                        cand = np.intersect1d(cand, ids, assume_unique=True)
+                        cand = _isect_sorted(cand, ids)
                     matched = self._phrase_match_docs(ph.terms, f, cand)
                     if matched.size:
                         per_field.append((f, matched))
@@ -918,8 +973,7 @@ class SegmentEvaluator:
                 u = (per_field[0][1] if len(per_field) == 1
                      else np.unique(np.concatenate(
                          [mm for _, mm in per_field])))
-                ids = u if ids is None else np.intersect1d(
-                    ids, u, assume_unique=True)
+                ids = u if ids is None else _isect_sorted(ids, u)
                 if ids.size == 0:
                     return empty
                 ph_matched.append((ph, per_field))
@@ -935,22 +989,18 @@ class SegmentEvaluator:
                     for ff in self._leaf_fields(f):
                         tids, tsc = s.term_scores(
                             ff, t, self.idf.get((ff, t), 0.0))
-                        _, ia, ib = np.intersect1d(
-                            ids, tids, assume_unique=True,
-                            return_indices=True)
+                        _, ia, ib = _isect_sorted(ids, tids, indices=True)
                         sc[ia] += boost * self.weights[ff] * tsc[ib]
             for ph, per_field in ph_matched:
                 for f, matched in per_field:
-                    mm = np.intersect1d(ids, matched, assume_unique=True)
+                    mm = _isect_sorted(ids, matched)
                     if mm.size == 0:
                         continue
                     pos = np.searchsorted(ids, mm)
                     for t in ph.terms:
                         tids, tsc = s.term_scores(
                             f, t, self.idf.get((f, t), 0.0))
-                        _, ia, ib = np.intersect1d(
-                            mm, tids, assume_unique=True,
-                            return_indices=True)
+                        _, ia, ib = _isect_sorted(mm, tids, indices=True)
                         sc[pos[ia]] += ph.boost * self.weights[f] * tsc[ib]
             return self._cut(ids, sc, m)
 
