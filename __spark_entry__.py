@@ -769,6 +769,44 @@ def d_contamination(spark, sf_dir):
     return dedup.contamination(train, bench)
 
 
+def t_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals
+    (ops/textstats.repetition_signals): duplicate-line counts over a
+    deterministically line-broken view of the corpus (the zipf text is
+    single-line, so ' data ' plays the line separator in BOTH engines)
+    + most-frequent-bigram coverage.  All-integer outputs — the
+    cross-engine hash is drift-free."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " data ", "\n"))
+    return textstats.repetition_signals(docs)
+
+
+def t_url_filter(spark, sf_dir):
+    """C4-style URL rule filter with typed verdicts
+    (ops/urls.url_quality_filter).  The documents table carries no URL
+    column, so one is synthesized deterministically per doc_id class
+    (same CASE in the oracle) covering every rule: blocked host,
+    blocked pattern, bad scheme, over-deep path, over-long URL, keep."""
+    from hayoo_spark.ops.urls import url_quality_filter
+    k = F.col("doc_id")
+    url = (F.when(k % 11 == 0, F.concat(F.lit("https://ads.example.com/b/"),
+                                        k.cast("string")))
+           .when(k % 11 == 1, F.concat(F.lit("https://ok.org/a?sessionid="),
+                                       k.cast("string")))
+           .when(k % 11 == 2, F.concat(F.lit("ftp://files.org/"),
+                                       k.cast("string")))
+           .when(k % 11 == 3, F.concat(F.lit("https://deep.org"),
+                                       F.repeat(F.lit("/p"), 12)))
+           .when(k % 11 == 4, F.concat(F.lit("https://ok.org/"),
+                                       F.repeat(F.lit("x"), 2100)))
+           .otherwise(F.concat(F.lit("https://good.com/article/"),
+                               k.cast("string"))))
+    docs = _docs(spark, sf_dir).withColumn("url", url)
+    return url_quality_filter(
+        docs, blocked_hosts=("ads.example.com",),
+        blocked_patterns=(r"[?&]sessionid=",))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-fold analogue (T12): per-user session counts with a
     30-minute inactivity gap, via window lag + running sum."""
@@ -883,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": t_pii_scrub,
         "d_contamination": d_contamination,
         "q_case_sensitive": q_case_sensitive,
+        "t_repetition": t_repetition,
+        "t_url_filter": t_url_filter,
     }
 
 
@@ -1423,6 +1463,68 @@ SELECT doc_id,
 FROM toks GROUP BY doc_id"""
     sql["t_quality"] = _quality_sql()
     sql["t_lang_id"] = _lang_id_sql()
+    sql["t_repetition"] = f"""
+WITH d AS (SELECT doc_id,
+                  regexp_replace(text, ' data ', chr(10), 'g') AS text
+           FROM documents),
+ls AS (SELECT doc_id,
+              list_filter(string_split(coalesce(text, ''), chr(10)),
+                          x -> length(x) > 0) AS ls
+       FROM d),
+base AS (SELECT doc_id, len(ls) AS n_lines,
+                len(ls) - len(list_distinct(ls)) AS dup_lines
+         FROM ls),
+toks AS (SELECT doc_id, unnest(f) AS term,
+                CAST(generate_subscripts(f, 1) - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id,
+                      list_filter(regexp_extract_all(lower(text),
+                                                     '{TOKEN_RE}'),
+                                  x -> length(x) >= {MIN_TOKEN_LEN}) AS f
+               FROM d)),
+bg AS (SELECT doc_id, term || ' ' ||
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       FROM toks),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+        WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines, b.dup_lines,
+       coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+       coalesce(t.n_bigrams, 0) AS n_bigrams
+FROM base b LEFT JOIN top t USING (doc_id)"""
+    sql["t_url_filter"] = """
+WITH d AS (SELECT doc_id, CASE
+    WHEN doc_id % 11 = 0 THEN 'https://ads.example.com/b/'
+                              || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 11 = 1 THEN 'https://ok.org/a?sessionid='
+                              || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 11 = 2 THEN 'ftp://files.org/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 11 = 3 THEN 'https://deep.org' || repeat('/p', 12)
+    WHEN doc_id % 11 = 4 THEN 'https://ok.org/' || repeat('x', 2100)
+    ELSE 'https://good.com/article/' || CAST(doc_id AS VARCHAR)
+    END AS url FROM documents),
+x AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+          AS host,
+        regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+          AS path
+      FROM d),
+r AS (SELECT doc_id, url, host, CASE
+        WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+        WHEN host IN ('ads.example.com') THEN 'host'
+        WHEN regexp_matches(url, '[?&]sessionid=') THEN 'pattern0'
+        WHEN length(url) > 2048 THEN 'too_long'
+        WHEN length(path) - length(replace(path, '/', '')) > 8
+          THEN 'too_deep'
+        ELSE 'keep' END AS reason
+      FROM x)
+SELECT doc_id, url, host, reason,
+       CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS kept
+FROM r"""
     return sql
 
 

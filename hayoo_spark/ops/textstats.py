@@ -107,6 +107,50 @@ def fingerprint(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
                  F.count("*").alias("n_tokens")))
 
 
+def repetition_signals(docs: DataFrame, key: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: duplicate-line and repeated-n-gram filters are the standard
+    web-corpus quality gates alongside the heuristics in
+    quality_score):
+
+    - ``n_lines`` / ``dup_lines``: non-empty lines and how many are
+      exact repeats of an earlier line (all-integer, so the
+      cross-engine value-hash is drift-free; callers derive
+      dup_line_frac = dup_lines / n_lines);
+    - ``top_bigram_n`` / ``n_bigrams``: occurrences of the most
+      frequent token 2-gram and total 2-grams (callers derive the
+      top-n-gram coverage fraction).
+
+    Plan shape at scale: the line signals are one codegen'd projection
+    over the scan (split + array_distinct — no shuffle); the bigram
+    mode needs a (key, bigram) count — that is ONE map-side-combinable
+    shuffle keyed (key, bigram), a second tiny one keyed (key), and a
+    key-equi join back, all standard partial-agg shapes at 100 TB.
+    The bigram array is built JVM-side (zip_with over shifted slices),
+    not via a window (a lead() window would add a whole-corpus shuffle
+    + per-key sort before the count)."""
+    col = F.coalesce(F.col(text), F.lit(""))
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    base = docs.select(
+        key, n_lines.alias("n_lines"),
+        (n_lines - F.size(F.array_distinct(lines))).alias("dup_lines"))
+    toks = tokens_col(text)
+    bg_arr = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = docs.select(key, F.explode(bg_arr).alias("bigram"))
+    top = (bg.groupBy(key, "bigram").agg(F.count("*").alias("c"))
+           .groupBy(key).agg(F.max("c").alias("top_bigram_n"),
+                             F.sum("c").alias("n_bigrams")))
+    return (base.join(top, key, "left").select(
+        key, "n_lines", "dup_lines",
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams")))
+
+
 def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
     """(key, term, pos) with positions assigned AFTER the min-length
     filter, matching tokens_col + posexplode exactly.  Uses paired

@@ -48,6 +48,47 @@ def frontier_filter_col(url: Column | str,
     return scheme_ok & host_ok & ~col.rlike(ext_re)
 
 
+def url_quality_filter(docs: DataFrame, url: str = "url",
+                       key: str = "doc_id", *,
+                       blocked_hosts: tuple[str, ...] = (),
+                       blocked_patterns: tuple[str, ...] = (),
+                       allowed_schemes: tuple[str, ...] = ("http", "https"),
+                       max_url_len: int = 2048,
+                       max_depth: int = 8) -> DataFrame:
+    """Document-level URL rule filter with TYPED verdicts — the
+    C4/RefinedWeb-style corpus gate (distinct from the crawl-frontier
+    predicate S6: this one labels every doc with the first failing
+    rule so the drop ledger is auditable).
+
+    Rules, in precedence order (the reason records the FIRST failure):
+    scheme allowlist -> host blocklist (exact, case-insensitive) ->
+    URL substring/regex blocklist -> length cap -> path-depth cap.
+
+    Every rule is a single regexp/length expression shared verbatim
+    with the DuckDB oracle (no parse_url, which DuckDB lacks) — one
+    codegen'd projection over the scan, no shuffle, no UDF."""
+    col = F.col(url)
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    # path depth = '/' count after the authority, query/fragment excluded
+    path = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    reason = F.when(~scheme.isin(*[s.lower() for s in allowed_schemes]),
+                    F.lit("scheme"))
+    if blocked_hosts:
+        reason = reason.when(
+            host.isin(*[h.lower() for h in blocked_hosts]), F.lit("host"))
+    for i, pat in enumerate(blocked_patterns):
+        reason = reason.when(col.rlike(pat), F.lit(f"pattern{i}"))
+    reason = (reason
+              .when(F.length(col) > max_url_len, F.lit("too_long"))
+              .when(depth > max_depth, F.lit("too_deep"))
+              .otherwise(F.lit("keep")))
+    return docs.select(key, col.alias("url"), host.alias("host"),
+                       reason.alias("reason"),
+                       (reason == "keep").cast("int").alias("kept"))
+
+
 def frontier(links: DataFrame, url: str = "url",
              allow_host_re: str = r"\.org",
              deny_ext: tuple[str, ...] = DENY_EXT) -> DataFrame:

@@ -428,3 +428,62 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = (D.contamination(train, bench)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "broadcast" in plan.lower()
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition: duplicate-line counts and top-bigram
+    coverage, all-integer, verified on planted structure."""
+    from hayoo_spark.ops import textstats
+
+    docs = spark.createDataFrame([
+        (1, "aa bb\naa bb\ncc dd\n\naa bb"),   # 4 non-empty, 2 dups
+        (2, "xx yy zz xx yy"),                 # top bigram "xx yy" x2
+        (3, None),                             # NULL text
+        (4, "solo"),                           # 1 token: no bigrams
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_signals(docs).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_lines"] == 2
+    assert out[2]["n_lines"] == 1 and out[2]["dup_lines"] == 0
+    # "xx yy zz xx yy" bigrams: xx-yy, yy-zz, zz-xx, xx-yy
+    assert out[2]["top_bigram_n"] == 2 and out[2]["n_bigrams"] == 4
+    assert out[3]["n_lines"] == 0 and out[3]["top_bigram_n"] == 0
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_n"] == 0
+    # dup_line_frac derives exactly: doc 1 -> 2/4
+    assert out[1]["dup_lines"] / out[1]["n_lines"] == 0.5
+
+
+def test_url_quality_filter(spark):
+    """C4-style typed URL verdicts with first-failure precedence."""
+    from hayoo_spark.ops.urls import url_quality_filter
+
+    docs = spark.createDataFrame([
+        (1, "https://good.com/article/1"),
+        (2, "https://ads.example.com/b/2"),
+        (3, "ftp://ads.example.com/3"),          # scheme beats host
+        (4, "https://ok.org/a?sessionid=42"),
+        (5, "https://deep.org" + "/p" * 12),
+        (6, "https://ok.org/" + "x" * 2100),
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_quality_filter(
+        docs, blocked_hosts=("ads.example.com",),
+        blocked_patterns=(r"[?&]sessionid=",)).collect()}
+    assert out[1]["reason"] == "keep" and out[1]["kept"] == 1
+    assert out[2]["reason"] == "host" and out[2]["host"] == "ads.example.com"
+    assert out[3]["reason"] == "scheme"
+    assert out[4]["reason"] == "pattern0"
+    assert out[5]["reason"] == "too_deep"
+    assert out[6]["reason"] == "too_long"
+    assert all(out[i]["kept"] == 0 for i in (2, 3, 4, 5, 6))
+
+
+def test_url_quality_filter_no_shuffle(spark):
+    """The URL gate is one codegen'd projection — no Exchange in the
+    plan (the 100 TB posture: a per-row verdict must not shuffle)."""
+    from hayoo_spark.ops.urls import url_quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://good.com/a")], "doc_id long, url string")
+    plan = url_quality_filter(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
