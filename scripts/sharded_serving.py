@@ -45,6 +45,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WINDOW_SEC = float(os.environ.get("SHARD_WINDOW_SEC", "15"))
 REQ_THREADS = int(os.environ.get("SHARD_REQ_THREADS", "8"))
 K = 20
+# reuse a pre-built index (e.g. the persistent sf10 one) instead of
+# building: SHARD_IX_DIR=/dev/shm/sf10_ix SHARD_LABEL=3m
+IX_DIR = os.environ.get("SHARD_IX_DIR", "")
+LABEL = os.environ.get("SHARD_LABEL", "")
 
 
 def _shard_worker(ix: str, segs: list[int], inq: mp.Queue, outq: mp.Queue,
@@ -161,7 +165,6 @@ def main() -> None:
     from hayoo_spark.query.engine import SearchEngine
     from hayoo_spark.session import get_spark
 
-    pages = _materialize_corpus(DOCS, shm=True)
     report: dict = {"docs": DOCS, "n_segments": N_SEGMENTS,
                     "req_threads": REQ_THREADS,
                     "window_sec": WINDOW_SEC, "k": K}
@@ -173,21 +176,28 @@ def main() -> None:
         os.makedirs(SHM_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=SHM_ROOT)
     try:
-        ix = os.path.join(tmp, "ix")
-        t0 = time.monotonic()
-        build_index(spark, pages, ix, n_segments=N_SEGMENTS,
-                    salt_df_threshold=4096, n_salts=8)
-        report["build_sec"] = round(time.monotonic() - t0, 1)
+        if IX_DIR:
+            ix = IX_DIR
+        else:
+            pages = _materialize_corpus(DOCS, shm=True)
+            ix = os.path.join(tmp, "ix")
+            t0 = time.monotonic()
+            build_index(spark, pages, ix, n_segments=N_SEGMENTS,
+                        salt_df_threshold=4096, n_salts=8)
+            report["build_sec"] = round(time.monotonic() - t0, 1)
 
         # reference results for the rank-identity check
         ref = SearchEngine(spark, ix)
+        n_segments = len(ref._segments)
+        report["docs"] = ref.n_docs
+        report["n_segments"] = n_segments
         ref.warm(top_terms=256, positions_top=32)
         want = {q: ref.search(q, k=K) for q in ENGINE_QUERIES}
         spark.stop()  # the serving processes own the box from here
 
         results = {}
         for n in (1, 2, 4):
-            client = ShardClient(ix, n, N_SEGMENTS)
+            client = ShardClient(ix, n, n_segments)
             try:
                 for q in ENGINE_QUERIES:  # parity before timing
                     got = client.search(q, k=K)
@@ -209,7 +219,8 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "sharded_serving.json"), "w") as fh:
+    name = f"sharded_serving_{LABEL}.json" if LABEL else "sharded_serving.json"
+    with open(os.path.join(REPO, "BENCH", name), "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report))
 
