@@ -132,6 +132,28 @@ def update_index(
     else:
         eff_urls = changed_urls
     segs = affected_segments(spark, eff_urls, n_segments)
+    # crash-retry self-healing: a previous attempt may have died after
+    # deleting segment dirs (streaming foreachBatch replays the batch
+    # at-least-once).  Any segment with no manifest row OR no docs dir
+    # is half-deleted and MUST join the rebuild set regardless of what
+    # the replayed change set hashes to — with split_sections the
+    # changed page's virtual docs may live ONLY in such a segment (the
+    # doc-store lookup above cannot see deleted rows), and without this
+    # union the retry would rebuild that segment from zero rows and
+    # silently drop every unrelated doc it held.
+    man_path = os.path.join(index_dir, "manifest")
+    done: set[int] = set()
+    try:
+        done = {int(r["partition_id"]) for r in
+                spark.read.parquet(man_path)
+                .select("partition_id").collect()}
+    except Exception:
+        pass
+    present = {int(os.path.basename(p).split("=")[1]) for p in
+               glob.glob(os.path.join(docs_path, "segment=*"))}
+    half_deleted = [s for s in range(n_segments)
+                    if s not in done or s not in present]
+    segs = sorted(set(segs) | set(half_deleted))
     if not segs:
         return {"segments_rebuilt": 0}
 
@@ -194,7 +216,6 @@ def update_index(
         for sub in ("docs", "postings"):
             shutil.rmtree(os.path.join(index_dir, sub, f"segment={s}"),
                           ignore_errors=True)
-    man_path = os.path.join(index_dir, "manifest")
     man = spark.read.parquet(man_path).filter(~F.col("partition_id").isin(segs))
     kept = man.toPandas()
     shutil.rmtree(man_path, ignore_errors=True)

@@ -341,20 +341,6 @@ class SearchEngine:
             out |= self._scoring_pairs(node.left) | self._scoring_pairs(node.right)
         return out
 
-    def _phrase_pairs(self, node: P.Node) -> set[tuple[str, str]]:
-        """(field, term) pairs that appear inside Phrase nodes — the set
-        whose POSITION streams a query can touch."""
-        out: set[tuple[str, str]] = set()
-        if isinstance(node, P.Phrase):
-            for t in node.terms:
-                out.update((f, t) for f in self._expand_fields(node.field))
-        elif isinstance(node, (P.And, P.Or)):
-            for c in node.children:
-                out |= self._phrase_pairs(c)
-        elif isinstance(node, P.AndNot):
-            out |= self._phrase_pairs(node.left) | self._phrase_pairs(node.right)
-        return out
-
     def _idf_map(self, pairs: set[tuple[str, str]]) -> dict:
         if not pairs:
             return {}
@@ -425,6 +411,12 @@ class SearchEngine:
         flds = list({f for f, _ in needed})
         post = self._postings_df().filter(
             F.col("term").isin(terms) & F.col("field").isin(flds))
+        if self._sharded:
+            # a sharded engine serves ONLY its segment slice in every
+            # mode — without this filter spark mode would evaluate the
+            # full corpus and the shard-merge contract (each url from
+            # exactly one shard) would break
+            post = post.filter(F.col("segment").isin(self._segments))
         idf_map = self._idf_map(needed)
         avgdl, ub_scale = self.avgdl, self.ub_scale
         weights, default_fields = self.field_weights, self.default_fields
@@ -596,12 +588,16 @@ class SearchEngine:
                               for i in top[:min(positions_top, len(top))]}
         else:
             # distributed dictionary: one small ordered head per field
+            # (positions_top applies here too — the cold-phrase prewarm
+            # must not silently no-op just because the dict spilled)
             for f in self.default_fields:
                 rows = (self._terms_df
                         .filter(F.col("field") == f)
                         .orderBy(F.col("df").desc(), "term")
                         .select("term").limit(top_terms).collect())
                 pairs |= {(f, r["term"]) for r in rows}
+                pos_pairs |= {(f, r["term"]) for r in
+                              rows[:min(positions_top, len(rows))]}
         if pairs:
             self._fetch_rows(pairs)
         if pos_pairs and positions_top:

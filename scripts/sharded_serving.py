@@ -122,10 +122,15 @@ class ShardClient:
             ev = self._events[qid] = threading.Event()
         for inq in self.inqs:
             inq.put((qid, q))
-        ev.wait(120)
+        ok = ev.wait(120)
         with self._lock:
             parts = self._pending.pop(qid)
             self._events.pop(qid)
+        if not ok or len(parts) != self.n:
+            # a dead/stuck shard must fail the benchmark loudly — a
+            # partial merge would report a bogus qps from wrong top-k
+            raise RuntimeError(
+                f"shard timeout: {len(parts)}/{self.n} responses for {q!r}")
         merged = [t for res in parts for t in res]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]

@@ -177,3 +177,11 @@ def test_sharded_engines_union_equals_unsharded(spark, tmp_path):
     a = {u for u, _ in shards[0].search("baba", k=100)}
     b = {u for u, _ in shards[1].search("baba", k=100)}
     assert not (a & b)
+    # spark mode must honor the slice too — an unfiltered postings
+    # relation would return full-corpus results from every shard
+    sa = shards[0].search("baba AND bibaba", k=12, mode="spark")
+    sb = shards[1].search("baba AND bibaba", k=12, mode="spark")
+    assert {u for u, _ in sa} <= {u for u, _ in shards[0].search(
+        "baba AND bibaba", k=100)} or sa == []
+    merged_sp = sorted(sa + sb, key=lambda t: (-t[1], t[0]))[:12]
+    assert merged_sp == full.search("baba AND bibaba", k=12)

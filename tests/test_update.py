@@ -439,3 +439,59 @@ def test_engine_warm_positions_prewarms_phrase_decode(spark, tmp_path):
     assert {k for k in after if "baba" in str(k)} == \
         {k for k in warmed if "baba" in str(k)}
     assert len(after) >= n_before
+
+
+def test_update_split_sections_crash_retry_no_data_loss(spark, tmp_path,
+                                                       monkeypatch):
+    """Crash window that the doc-store-based affected-segment lookup
+    cannot see: a first attempt deletes the affected segment dirs +
+    manifest rows, then dies before the rebuild.  On retry the changed
+    page's virtual docs are invisible in the doc store, so without the
+    half-deleted-segment union the retry would rebuild those segments
+    from zero rows and silently drop every unrelated doc they held."""
+    from hayoo_spark.index import update as upd
+
+    pages = fixtures.make_sectioned_pages(60)
+    p0 = tmp_path / "pages_v0.parquet"
+    pages.to_parquet(p0, index=False)
+    victim = pages["url"].iloc[0]
+    pages2 = pages.copy()
+    i = pages2.index[pages2["url"] == victim][0]
+    pages2.loc[i, "html"] = (
+        b"<html><head><title>flat</title></head>"
+        b"<body><p>flattened page no sections anymore</p></body></html>")
+    from hayoo_spark.analysis import extract_text_py
+    pages2.loc[i, "text"] = extract_text_py(pages2.loc[i, "html"])
+    p1 = tmp_path / "pages_v1.parquet"
+    pages2.to_parquet(p1, index=False)
+
+    inc = str(tmp_path / "inc")
+    build_index(spark, str(p0), inc, n_segments=4, split_sections=True,
+                salt_df_threshold=64)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(*a, **k):
+        raise Boom("simulated crash after segment deletion")
+
+    ch = spark.createDataFrame([(victim,)], "url string")
+    monkeypatch.setattr(upd, "build_index", crash)
+    with pytest.raises(Boom):
+        update_index(spark, str(p1), inc, changed_urls=ch,
+                     salt_df_threshold=64)
+    monkeypatch.undo()
+
+    res = update_index(spark, str(p1), inc, changed_urls=ch,
+                       salt_df_threshold=64)
+    assert res["segments_rebuilt"] > 0
+
+    full_ix = str(tmp_path / "full")
+    build_index(spark, str(p1), full_ix, n_segments=4, split_sections=True,
+                salt_df_threshold=64)
+    eng = SearchEngine(spark, inc)
+    ref = SearchEngine(spark, full_ix)
+    assert eng.n_docs == ref.n_docs  # nothing silently dropped
+    assert eng.search("only0x0", k=5) == []  # stale virtual doc purged
+    for q in ["flattened", "baba", "only3x0"]:
+        assert eng.search(q, k=20) == ref.search(q, k=20), q
