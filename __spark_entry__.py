@@ -807,6 +807,59 @@ def t_url_filter(spark, sf_dir):
         blocked_patterns=(r"[?&]sessionid=",))
 
 
+#: the shared boilerplate footer for d_substring_spans — a fixed
+#: 10-token phrase appended to every doc_id % 5 == 0 doc, guaranteeing
+#: known cross-document >=w-token exact duplicate spans (the zipf text
+#: itself also contributes natural ones; both engines see the same).
+_FOOTER = (" alpha beta gamma delta epsilon zeta eta theta iota kappa")
+
+
+def d_substring_spans(spark, sf_dir):
+    """Exact-substring (Lee et al. windowed-hash) duplication
+    (ops/dedup.substring_dup_spans): per-doc coverage by 8-token
+    windows shared with another document.  A deterministic boilerplate
+    footer is appended to every 5th doc (same CASE in the oracle) so
+    the duplicated-span machinery is exercised on known spans."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"),
+                         F.when(F.col("doc_id") % 5 == 0, F.lit(_FOOTER))
+                         .otherwise(F.lit(""))))
+    return dedup.substring_dup_spans(docs, w=8)
+
+
+def t_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling
+    (ops/corpus.stratified_sample): keep 60% of en, 30% of de, 10%
+    of everything else, decided by an md5-derived per-key draw — the
+    SAME rows survive at any parallelism, and the oracle reproduces
+    the draw bit-exactly."""
+    from hayoo_spark.ops import corpus
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir), rates={"en": 0.6, "de": 0.3},
+        stratum="lang", default_rate=0.1).select("doc_id", "lang")
+
+
+def t_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (ops/corpus.hash_split):
+    cumulative hash ranges over an md5-derived uniform draw, no rand()
+    (whose seeding varies with partitioning)."""
+    from hayoo_spark.ops import corpus
+    return corpus.hash_split(
+        _docs(spark, sf_dir),
+        splits={"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
+def t_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing assignment (ops/corpus.pack_sequences):
+    docs concatenate in doc_id order within each `source` shard and cut
+    every 256 tokens; each doc reports its bin and offset.  The only
+    wide op is a per-shard window cumsum — no global order."""
+    from hayoo_spark.ops import corpus
+    return corpus.pack_sequences(_docs(spark, sf_dir), budget=256,
+                                 shard="source")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-fold analogue (T12): per-user session counts with a
     30-minute inactivity gap, via window lag + running sum."""
@@ -923,6 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_sensitive": q_case_sensitive,
         "t_repetition": t_repetition,
         "t_url_filter": t_url_filter,
+        "d_substring_spans": d_substring_spans,
+        "t_stratified_sample": t_stratified_sample,
+        "t_hash_split": t_hash_split,
+        "t_pack_sequences": t_pack_sequences,
     }
 
 
@@ -1525,6 +1582,80 @@ r AS (SELECT doc_id, url, host, CASE
 SELECT doc_id, url, host, reason,
        CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS kept
 FROM r"""
+    sql["d_substring_spans"] = f"""
+WITH d AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 5 = 0 THEN '{_FOOTER}'
+                               ELSE '' END AS text
+           FROM documents),
+tl AS (SELECT doc_id,
+              list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                          x -> length(x) >= {MIN_TOKEN_LEN}) AS f
+       FROM d),
+wins AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(f[i:i+7], ' ')), 1, 14))::BIGINT
+           AS h
+  FROM tl, LATERAL (SELECT unnest(range(1, len(f) - 6)) AS i)
+  WHERE len(f) >= 8),
+duph AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+dw AS (SELECT doc_id, pos,
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       FROM wins JOIN duph USING (h)),
+cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+               sum(CASE WHEN prev IS NULL THEN 8
+                        ELSE least(8, pos - prev) END) AS dup_cov_tokens
+        FROM dw GROUP BY doc_id),
+base AS (SELECT doc_id, len(f) AS n_tokens,
+                greatest(len(f) - 7, 0) AS n_windows
+         FROM tl)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       CAST(coalesce(c.dup_cov_tokens, 0) AS BIGINT) AS dup_cov_tokens,
+       CAST(CASE WHEN b.n_tokens > 0
+                 THEN ROUND(coalesce(c.dup_cov_tokens, 0) * 10000.0
+                            / b.n_tokens)
+                 ELSE 0 END AS BIGINT) AS dup_frac_x1e4
+FROM base b LEFT JOIN cov c USING (doc_id)"""
+
+    from hayoo_spark.ops.corpus import u01_sql
+    _usamp = u01_sql("doc_id", "sample")
+    sql["t_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_usamp} < CASE WHEN lang = 'en' THEN 0.6
+                      WHEN lang = 'de' THEN 0.3
+                      ELSE 0.1 END"""
+
+    # cumulative cuts computed with the SAME python float arithmetic
+    # hash_split uses, inlined via repr so both engines compare the
+    # identical doubles
+    _splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    _labels = sorted(_splits)
+    _acc, _whens = 0.0, []
+    for _lab in _labels[:-1]:
+        _acc += float(_splits[_lab])
+        _whens.append(f"WHEN {u01_sql('doc_id', 'split')} < {_acc!r} "
+                      f"THEN '{_lab}'")
+    sql["t_hash_split"] = (
+        "SELECT doc_id, CASE " + " ".join(_whens)
+        + f" ELSE '{_labels[-1]}' END AS split FROM documents")
+
+    sql["t_pack_sequences"] = f"""
+WITH tl AS (SELECT doc_id, source,
+                   len(list_filter(regexp_extract_all(lower(text),
+                                                      '{TOKEN_RE}'),
+                                   x -> length(x) >= {MIN_TOKEN_LEN}))
+                     AS n_tokens
+            FROM documents),
+s AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS strt
+      FROM tl)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(strt / 256.0) AS BIGINT) AS bin_id,
+       strt % 256 AS bin_offset
+FROM s"""
     return sql
 
 

@@ -37,6 +37,7 @@ HEADLINE = [
     "q_topk_paging", "q_events_sessionize", "d_ngram_jaccard",
     "d_minhash_lsh", "d_dedup_clusters", "t_clean_corpus",
     "sim_cosine_topk", "t_fingerprint", "t_quality",
+    "d_substring_spans", "t_pack_sequences",
 ]
 
 ENGINE_QUERIES = [

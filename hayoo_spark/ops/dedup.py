@@ -396,3 +396,64 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
         F.col("v").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("v") == F.col("label")).cast("int").alias("is_keeper"))
+
+
+def substring_dup_spans(docs: DataFrame, key: str = "doc_id",
+                        text: str = "text", w: int = 8) -> DataFrame:
+    """Cross-document exact-substring duplication (the suffix-array
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed Spark-first.
+
+    A distributed suffix array is the wrong tool on Spark (global
+    character-order sort + LCP scan = one giant total order); the
+    equivalent detector is windowed hashing: every ``w``-token sliding
+    window is hashed, a window hash seen in >1 DISTINCT document marks
+    an exact >=w-token cross-doc duplicate span.  Per doc we return how
+    much of it is covered by such spans — the signal used to cut
+    boilerplate/licence blocks that shingle-Jaccard dilutes away on
+    long pages.
+
+    Output: (key, n_tokens, n_windows, n_dup_windows, dup_cov_tokens,
+    dup_frac_x1e4) where dup_cov_tokens is |union of [pos, pos+w)| over
+    duplicated windows — computed with a lag window (first interval
+    contributes w, each next min(w, gap)), NEVER by exploding w
+    positions per window: coverage stays O(#dup windows) rows.
+
+    Scale shape: one explode (corpus token count rows), one groupBy on
+    the 56-bit window hash (8-byte shuffle keys), one semi-join back,
+    one per-doc window+groupBy.  The duplicated-hash relation is
+    corpus-sized in the worst case, so the join back is a plain
+    shuffle join, not a broadcast.
+    """
+    toks = tokens_col(text)
+    win_arr = F.when(
+        F.size(toks) >= w,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - w),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w))),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select(key, F.posexplode(win_arr).alias("pos", "win")) \
+        .select(key, "pos", _md5i(F.col("win")).alias("h"))
+    dup_h = (wins.groupBy("h")
+             .agg(F.count_distinct(F.col(key)).alias("nd"))
+             .filter(F.col("nd") > 1).select("h"))
+    dup_wins = wins.join(dup_h, "h").select(key, "pos")
+    from pyspark.sql import Window
+    wspec = Window.partitionBy(key).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(wspec)
+    cov = (dup_wins
+           .withColumn("contrib", F.when(gap.isNull(), F.lit(w))
+                       .otherwise(F.least(F.lit(w), gap)))
+           .groupBy(key)
+           .agg(F.count("*").alias("n_dup_windows"),
+                F.sum("contrib").alias("dup_cov_tokens")))
+    base = docs.select(
+        key, F.size(toks).alias("n_tokens"),
+        F.greatest(F.size(toks) - w + 1, F.lit(0)).alias("n_windows"))
+    return (base.join(cov, key, "left")
+            .select(key, "n_tokens", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                    F.coalesce("dup_cov_tokens", F.lit(0)).alias("dup_cov_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.round(F.coalesce("dup_cov_tokens", F.lit(0))
+                                   * 10000.0 / F.col("n_tokens")))
+                    .otherwise(F.lit(0)).cast("bigint").alias("dup_frac_x1e4")))

@@ -141,8 +141,13 @@ def repetition_signals(docs: DataFrame, key: str = "doc_id",
         F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
-    bg = docs.select(key, F.explode(bg_arr).alias("bigram"))
-    top = (bg.groupBy(key, "bigram").agg(F.count("*").alias("c"))
+    # group on a 64-bit hash of the bigram, not the string: the count
+    # only needs group identity, and 8-byte shuffle keys beat variable-
+    # length strings at corpus scale (a collision would need ~2^32
+    # bigrams IN ONE DOC to be likely — not a document)
+    bg = (docs.select(key, F.explode(bg_arr).alias("bigram"))
+          .select(key, F.xxhash64("bigram").alias("bg_h")))
+    top = (bg.groupBy(key, "bg_h").agg(F.count("*").alias("c"))
            .groupBy(key).agg(F.max("c").alias("top_bigram_n"),
                              F.sum("c").alias("n_bigrams")))
     return (base.join(top, key, "left").select(

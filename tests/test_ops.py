@@ -487,3 +487,118 @@ def test_url_quality_filter_no_shuffle(spark):
     plan = url_quality_filter(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_substring_dup_spans_planted(spark):
+    # doc 0 and 1 share an exact 10-token run; doc 2 is unrelated
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "unique start here then " + shared + " tail zero"),
+        (1, "other head words now " + shared + " different ending text"),
+        (2, "completely independent body with no common run at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dup_spans(df, w=8).collect()}
+    # the shared run has 10 tokens -> 3 duplicated 8-windows per doc,
+    # interval union = 10 tokens covered
+    for d in (0, 1):
+        assert out[d]["n_dup_windows"] == 3
+        assert out[d]["dup_cov_tokens"] == 10
+        assert out[d]["dup_frac_x1e4"] > 0
+    assert out[2]["n_dup_windows"] == 0
+    assert out[2]["dup_cov_tokens"] == 0
+    # docs shorter than w produce no windows but still one output row
+    short = spark.createDataFrame([(9, "tiny text")],
+                                  "doc_id long, text string")
+    r = dedup.substring_dup_spans(short, w=8).collect()[0]
+    assert r["n_windows"] == 0 and r["dup_frac_x1e4"] == 0
+
+
+def test_substring_dup_spans_within_doc_repeat_not_counted(spark):
+    # the SAME window twice in ONE doc is self-repetition, not a
+    # cross-doc duplicate
+    run = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(0, run + " filler words " + run), (1, "nothing shared here at all "
+                                                "with the other document")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dup_spans(df, w=8).collect()}
+    assert out[0]["n_dup_windows"] == 0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from hayoo_spark.ops import corpus
+    rows = [(i, f"text {i}", "en" if i % 2 == 0 else "de")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = corpus.stratified_sample(df, {"en": 1.0, "de": 0.0}).collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    assert len(kept) == 200
+    # determinism: same rows at different parallelism
+    a = sorted(r["doc_id"] for r in
+               corpus.stratified_sample(df, {"en": 0.5, "de": 0.25}).collect())
+    b = sorted(r["doc_id"] for r in
+               corpus.stratified_sample(df.repartition(13),
+                                        {"en": 0.5, "de": 0.25}).collect())
+    assert a == b and 0 < len(a) < 400
+    # growing the corpus never flips earlier decisions
+    df2 = spark.createDataFrame(
+        rows + [(1000 + i, "x", "en") for i in range(50)],
+        "doc_id long, text string, lang string")
+    c = sorted(r["doc_id"] for r in
+               corpus.stratified_sample(df2, {"en": 0.5, "de": 0.25}).collect()
+               if r["doc_id"] < 1000)
+    assert c == a
+
+
+def test_hash_split_partitions_completely(spark):
+    from hayoo_spark.ops import corpus
+    df = spark.createDataFrame([(i, "t") for i in range(1000)],
+                               "doc_id long, text string")
+    out = corpus.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 1000  # no row dropped
+    frac = pd.Series([r["split"] for r in rows]).value_counts(normalize=True)
+    assert 0.74 < frac["train"] < 0.86
+    assert 0.06 < frac["val"] < 0.14
+    assert 0.06 < frac["test"] < 0.14
+    # split assignment is a pure function of (key, salt)
+    again = {r["doc_id"]: r["split"]
+             for r in corpus.hash_split(df.repartition(7),
+                                        {"train": 0.8, "val": 0.1,
+                                         "test": 0.1}).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_pack_sequences_offsets(spark):
+    from hayoo_spark.ops import corpus
+    # ten 100-token docs in one shard, budget 256: starts 0,100,...,900
+    txt = " ".join(f"tok{i:03d}" for i in range(100))
+    df = spark.createDataFrame(
+        [(i, txt, "shardA") for i in range(10)]
+        + [(100, " ".join(f"w{j}" for j in range(30)), "shardB")],
+        "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           corpus.pack_sequences(df, budget=256, shard="source").collect()}
+    for i in range(10):
+        start = i * 100
+        assert out[i]["bin_id"] == start // 256
+        assert out[i]["bin_offset"] == start % 256
+        assert out[i]["n_tokens"] == 100
+    # shards are independent: shardB restarts at offset 0
+    assert out[100]["bin_id"] == 0 and out[100]["bin_offset"] == 0
+
+
+def test_pack_sequences_no_global_sort_in_plan(spark):
+    from hayoo_spark.ops import corpus
+    df = spark.createDataFrame([(i, "a b c", f"s{i % 4}")
+                                for i in range(40)],
+                               "doc_id long, text string, source string")
+    plan = corpus.pack_sequences(df, budget=64, shard="source") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the cumsum must be a partitioned window (hashpartitioning on the
+    # shard), never a global Sort/single partition
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
