@@ -860,6 +860,27 @@ def t_pack_sequences(spark, sf_dir):
                                  shard="source")
 
 
+def t_lm_perplexity(spark, sf_dir):
+    """CCNet-style model-based quality signal (ops/lm.lm_perplexity):
+    per-doc bits-per-token under a self-trained add-one bigram LM.
+    Cross-engine exact: the one libm call (log2 of an exact integer
+    ratio) is quantized to integer centibits per bigram BEFORE the
+    per-doc sum, so accumulation order cannot move the hash."""
+    from hayoo_spark.ops import lm
+    return lm.lm_perplexity(_docs(spark, sf_dir))
+
+
+def t_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, the Spark-side statistic (ops/bpe):
+    weighted adjacent symbol-pair counts over the word histogram —
+    exactly what the first merge maximizes.  The (bounded, driver-side)
+    merge loop itself is pytest-verified against a brute-force
+    reference; this entry gates the corpus-touching pass."""
+    from hayoo_spark.ops import bpe
+    hist = bpe.word_histogram(_docs(spark, sf_dir))
+    return bpe.bpe_pair_counts(hist, top=50)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-fold analogue (T12): per-user session counts with a
     30-minute inactivity gap, via window lag + running sum."""
@@ -980,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": t_stratified_sample,
         "t_hash_split": t_hash_split,
         "t_pack_sequences": t_pack_sequences,
+        "t_lm_perplexity": t_lm_perplexity,
+        "t_bpe_pairs": t_bpe_pairs,
     }
 
 
@@ -1656,6 +1679,35 @@ SELECT doc_id, source, n_tokens,
        CAST(floor(strt / 256.0) AS BIGINT) AS bin_id,
        strt % 256 AS bin_offset
 FROM s"""
+    sql["t_lm_perplexity"] = f"""
+WITH toks AS ({_TOKS_POS}),
+uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),
+v AS (SELECT count(*) AS v FROM uni),
+bgr AS (SELECT doc_id, term AS w1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks QUALIFY w2 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2),
+sc AS (SELECT bgr.doc_id,
+              CAST(floor(100 * log2(CAST(u.c1 + v.v AS DOUBLE)
+                                    / (bc.c12 + 1))) AS BIGINT) AS cb
+       FROM bgr
+       JOIN bc USING (w1, w2)
+       JOIN uni u ON bgr.w1 = u.term
+       CROSS JOIN v),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(cb) AS BIGINT) AS sum_centibits
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.sum_centibits, 0) AS sum_centibits,
+       CASE WHEN a.n_bigrams > 0
+            THEN CAST(a.sum_centibits AS DOUBLE) / (100 * a.n_bigrams)
+            ELSE 0.0 END AS bits_per_token
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    from hayoo_spark.ops.bpe import duckdb_pair_counts_sql
+    sql["t_bpe_pairs"] = duckdb_pair_counts_sql(
+        f"SELECT term AS word, count(*) AS wc FROM ({_TOKS}) GROUP BY term",
+        top=50)
     return sql
 
 
