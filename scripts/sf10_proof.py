@@ -52,7 +52,8 @@ def main() -> None:
     from hayoo_spark.query.engine import SearchEngine
     from hayoo_spark.session import get_spark
 
-    out = os.path.join(REPO, "BENCH", "sf10.json")
+    out = os.environ.get("SF10_OUT",
+                         os.path.join(REPO, "BENCH", "sf10.json"))
     report: dict = {"docs_target": DOCS, "cpus": CPUS,
                     "n_segments": N_SEGMENTS,
                     "segments_per_batch": PER_BATCH}
