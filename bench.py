@@ -51,6 +51,16 @@ ENGINE_QUERIES = [
 SHM_ROOT = "/dev/shm/hayoo_bench" if os.path.isdir("/dev/shm") else None
 
 
+def _gen_part(out_dir: str, n_docs: int, part: int, n_parts: int) -> None:
+    """ProcessPoolExecutor payload: generate + write one corpus part."""
+    from hayoo_spark import fixtures
+
+    pdf = fixtures.make_pages_part(n_docs, part, n_parts)
+    if len(pdf):
+        pdf.to_parquet(os.path.join(out_dir, f"part-{part:04d}.parquet"),
+                       index=False, row_group_size=4096)
+
+
 def _materialize_corpus(n_docs: int, n_files: int = 32,
                         shm: bool = False) -> str:
     """Deterministic pages corpus cached under .bench/ (seed=42).
@@ -78,14 +88,27 @@ def _materialize_corpus(n_docs: int, n_files: int = 32,
         tmp_out = out + ".tmp"
         shutil.rmtree(tmp_out, ignore_errors=True)
         os.makedirs(tmp_out, exist_ok=True)
-        pdf = fixtures.make_pages(n_docs)
-        step = (len(pdf) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = pdf.iloc[i * step : (i + 1) * step]
-            if len(chunk):
-                chunk.to_parquet(
-                    os.path.join(tmp_out, f"part-{i:04d}.parquet"),
-                    index=False, row_group_size=4096)
+        if n_docs > 1_000_000:
+            # monolithic generation is a single-core Python loop (~35 min
+            # at 10M docs); above 1M use the part-seeded parallel
+            # generator instead (never cached monolithically at these
+            # sizes, so no existing corpus changes)
+            from concurrent.futures import ProcessPoolExecutor
+            workers = min(12, n_files)  # each worker peaks ~2 GB
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                futs = [ex.submit(_gen_part, tmp_out, n_docs, i, n_files)
+                        for i in range(n_files)]
+                for f in futs:
+                    f.result()
+        else:
+            pdf = fixtures.make_pages(n_docs)
+            step = (len(pdf) + n_files - 1) // n_files
+            for i in range(n_files):
+                chunk = pdf.iloc[i * step : (i + 1) * step]
+                if len(chunk):
+                    chunk.to_parquet(
+                        os.path.join(tmp_out, f"part-{i:04d}.parquet"),
+                        index=False, row_group_size=4096)
         os.rename(tmp_out, out)
     if shm and SHM_ROOT:
         shm_out = os.path.join(SHM_ROOT, f"pages_{n_docs}")

@@ -82,9 +82,15 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
                          t0 + span * (i / max(1, n_docs)), text, langs[i],
                          tag=str(tags[i % 3])))
 
-    # --- edge docs at fixed urls (FIXTURES.md §1) ---
+    rows.extend(_edge_rows(t0, vocab))
+    return _finalize_pages(rows)
+
+
+def _edge_rows(t0: dt.datetime, vocab: np.ndarray) -> list:
+    """Edge docs at fixed urls (FIXTURES.md §1)."""
     t_edge = t0 + dt.timedelta(days=364)
     top = vocab[0]
+    rows = []
     rows.append(_row("https://edge.org/empty", t_edge, "", "en"))
     rows.append(_row("https://edge.org/single", t_edge, "solitaryword", "en"))
     rows.append(_row("https://edge.org/unicode", t_edge, "café naïve 中文 tokens here", "en"))
@@ -98,7 +104,10 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     rows.append(_row("https://edge.org/case", t_edge,
                      "CamelCase camelcase CAMELCASE CamelCase plainword",
                      "en"))
+    return rows
 
+
+def _finalize_pages(rows: list) -> pd.DataFrame:
     df = pd.DataFrame(rows,
                       columns=["url", "warc_ts", "html", "text", "lang", "tag"])
     # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
@@ -114,6 +123,57 @@ def make_pages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     df["pub_ts"] = (df["warc_ts"] - pd.to_timedelta(offs, unit="D")) \
         .astype("datetime64[us]")
     return df
+
+
+def make_pages_part(n_total: int, part: int, n_parts: int,
+                    seed: int = SEED) -> pd.DataFrame:
+    """One horizontal slice of a large pages corpus, generatable in
+    parallel worker processes.
+
+    Doc ``i``'s url/timestamp/tag are functions of its GLOBAL index, so
+    the union of all parts has the same shape as ``make_pages(n_total)``
+    (urls unique, timestamps spanning the year, 7 hosts, 3 tags).  The
+    random draws (lengths, words, langs) use a per-part seed, so a part
+    depends only on ``(n_total, part, n_parts, seed)`` — not on the
+    other parts — which is what makes parallel generation possible.
+    Edge docs are appended to the last part only.
+
+    NOT byte-identical to ``make_pages(n_total)`` (different rng
+    stream); used only for bench corpora above the monolithic-generation
+    pain threshold, where no cached monolithic corpus exists.
+    """
+    step = (n_total + n_parts - 1) // n_parts
+    start = part * step
+    end = min(n_total, start + step)
+    n_local = max(0, end - start)
+
+    rng = np.random.RandomState(np.array([seed, part], dtype=np.uint32))
+    vocab = np.array(make_vocab(), dtype=object)
+    probs = _zipf_probs(len(vocab))
+
+    lengths = np.maximum(1, rng.lognormal(mean=4.55, sigma=0.6, size=n_local).astype(np.int64))
+    total = int(lengths.sum())
+    draws = rng.choice(len(vocab), size=total, p=probs)
+    langs = np.where(rng.rand(n_local) < 0.95, "en", "de")
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    span = dt.timedelta(days=365)
+    tags = np.array(["alpha", "beta", "gamma"], dtype=object)
+
+    rows = []
+    pos = 0
+    for j in range(n_local):
+        i = start + j
+        words = vocab[draws[pos : pos + lengths[j]]]
+        pos += lengths[j]
+        text = " ".join(words)
+        rows.append(_row(f"https://example{i % 7}.org/p/{i:08d}",
+                         t0 + span * (i / max(1, n_total)), text,
+                         langs[j], tag=str(tags[i % 3])))
+
+    if end == n_total:
+        rows.extend(_edge_rows(t0, vocab))
+    return _finalize_pages(rows)
 
 
 def _row(url: str, ts: dt.datetime, text: str, lang: str, tag: str = "alpha"):
