@@ -98,6 +98,28 @@ def test_fixture_edge_docs_present():
     assert (df["url"] == "https://example0.org/p/00000000").sum() == 2
 
 
+def test_fixture_parts_union_shape():
+    # parallel part generator (large-corpus path): union of parts has
+    # the same global shape as the monolithic corpus — unique urls plus
+    # the one duplicate-url edge doc, full host/tag spread, edge docs
+    # only in the last part, and per-part determinism
+    parts = [fixtures.make_pages_part(3000, p, 4) for p in range(4)]
+    u = pd.concat(parts, ignore_index=True)
+    mono = fixtures.make_pages(3000)
+    assert len(u) == len(mono)
+    assert list(u.columns) == list(mono.columns)
+    assert (u.dtypes == mono.dtypes).all()
+    assert set(u["url"]) == set(mono["url"])
+    assert (u["url"] == "https://example0.org/p/00000000").sum() == 2
+    assert not any(p["url"].str.startswith("https://edge.org/").any()
+                   for p in parts[:-1])
+    pd.testing.assert_frame_equal(parts[1],
+                                  fixtures.make_pages_part(3000, 1, 4))
+    # text column matches html extraction (input_hint invariant)
+    for h, t in zip(parts[0]["html"].head(50), parts[0]["text"].head(50)):
+        assert extract_text_py(h) == t
+
+
 def test_stoponly_doc_has_no_tokens():
     assert tokenize_py("a b c d e 1 2 3") == []
 
