@@ -171,7 +171,11 @@ def make_pages_part(n_total: int, part: int, n_parts: int,
                          t0 + span * (i / max(1, n_total)), text,
                          langs[j], tag=str(tags[i % 3])))
 
-    if end == n_total:
+    # edge docs belong to exactly one part: the last NON-EMPTY slice.
+    # `end == n_total` alone would also match trailing empty parts
+    # (start >= n_total when ceil-division overshoots), duplicating the
+    # edge urls across parts and breaking the unique-url invariant.
+    if end == n_total and start < n_total:
         rows.extend(_edge_rows(t0, vocab))
     return _finalize_pages(rows)
 

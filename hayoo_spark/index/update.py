@@ -143,16 +143,25 @@ def update_index(
     # silently drop every unrelated doc it held.
     man_path = os.path.join(index_dir, "manifest")
     done: set[int] = set()
+    nonempty: set[int] = set()
     try:
-        done = {int(r["partition_id"]) for r in
-                spark.read.parquet(man_path)
-                .select("partition_id").collect()}
+        for r in (spark.read.parquet(man_path)
+                  .select("partition_id", "docs").collect()):
+            done.add(int(r["partition_id"]))
+            if (r["docs"] or 0) > 0:
+                nonempty.add(int(r["partition_id"]))
     except Exception:
         pass
     present = {int(os.path.basename(p).split("=")[1]) for p in
                glob.glob(os.path.join(docs_path, "segment=*"))}
+    # a legitimately EMPTY segment has a manifest row (docs=0) and no
+    # docs dir (Hive partition writes create no dir for zero rows) —
+    # that is NOT half-deleted; flagging it would turn every no-op
+    # update into a rebuild (and, with n_segments > n_docs, every
+    # incremental update into a full cold rebuild).
     half_deleted = [s for s in range(n_segments)
-                    if s not in done or s not in present]
+                    if s not in done or (s in nonempty
+                                         and s not in present)]
     segs = sorted(set(segs) | set(half_deleted))
     if not segs:
         return {"segments_rebuilt": 0}

@@ -43,8 +43,7 @@ from ..analysis import tokenize_series, tokens_col
 END = "</w>"
 
 
-def word_histogram(docs: DataFrame, key: str = "doc_id",
-                   text: str = "text",
+def word_histogram(docs: DataFrame, text: str = "text",
                    max_words: int | None = None) -> DataFrame:
     """(word, wc) under the canonical tokenizer — one shuffle, map-side
     combined.  ``max_words`` keeps the top of the Zipf curve by

@@ -115,7 +115,10 @@ def pack_sequences(docs: DataFrame, budget: int, shard: str,
     sorts of |shard| docs each.  ``shard`` is required for exactly
     this reason — passing a constant would serialize the corpus.
     """
-    n_toks = F.size(tokens_col(text))
+    # NULL text counts 0 tokens — F.size(tokenize(NULL)) is NULL, which
+    # would NULL the window cumsum downstream and silently drop the doc
+    # from token-accounting sums (same failure scrub_pii coalesces for)
+    n_toks = F.coalesce(F.size(tokens_col(text)), F.lit(0))
     w = (Window.partitionBy(shard).orderBy(key)
          .rowsBetween(Window.unboundedPreceding, -1))
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

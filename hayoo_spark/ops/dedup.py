@@ -425,7 +425,9 @@ def substring_dup_spans(docs: DataFrame, key: str = "doc_id",
     corpus-sized in the worst case, so the join back is a plain
     shuffle join, not a broadcast.
     """
-    toks = tokens_col(text)
+    # NULL text → 0 tokens, not NULL (F.size(NULL) is NULL and would
+    # leak into n_tokens / the dup_frac denominator)
+    toks = F.coalesce(tokens_col(text), F.array().cast("array<string>"))
     win_arr = F.when(
         F.size(toks) >= w,
         F.transform(F.sequence(F.lit(0), F.size(toks) - w),

@@ -38,7 +38,7 @@ from . import plan as P
 from .parser import parse
 from .wand import (
     SegmentData, SegmentEvaluator, _flat_terms, _flat_with_not,
-    docs_loaded,
+    docs_loaded, ensure_docs_cache_capacity,
     load_segment_docs,
 )
 
@@ -138,6 +138,9 @@ class SearchEngine:
         if segments is not None:
             wanted = set(int(s) for s in segments)
             self._segments = [s for s in self._segments if s in wanted]
+        # the process-wide docs cache must hold this engine's whole
+        # segment set or every warm query re-reads the evicted tables
+        ensure_docs_cache_capacity(len(self._segments))
         # serving-tier raw-rows cache: (field, term) -> {segment: [row]}
         # (LRU by encoded bytes; invalidated when any postings segment
         # dir changes — same mtime contract as the decoded cache)

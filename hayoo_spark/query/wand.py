@@ -37,6 +37,20 @@ _DOCS_CACHE: dict[str, "SegmentDocs"] = {}
 _DOCS_CACHE_MAX = int(_os.environ.get("HAYOO_DOCS_CACHE_SEGMENTS", "64"))
 _DOCS_CACHE_LOCK = threading.Lock()
 
+
+def ensure_docs_cache_capacity(n_segments: int) -> None:
+    """Grow the per-process docs cache so one engine's full segment set
+    fits.  A cap below the segment count makes EVERY warm query a full
+    parquet re-read of the evicted segments (measured at 10M/128
+    segments: warm p50 7.4 s vs ~0.1 s expected — the 64-entry default
+    fit the 64-segment layouts by luck).  Grows only, never shrinks; an
+    explicit HAYOO_DOCS_CACHE_SEGMENTS override wins."""
+    global _DOCS_CACHE_MAX
+    if "HAYOO_DOCS_CACHE_SEGMENTS" in _os.environ:
+        return
+    with _DOCS_CACHE_LOCK:
+        _DOCS_CACHE_MAX = max(_DOCS_CACHE_MAX, int(n_segments) + 8)
+
 # decoded posting lists survive across queries (hot query terms):
 # key = (postings_root, segment, term) -> (ids, tfs, block_last, block_ub)
 _POSTINGS_CACHE: dict[tuple, tuple] = {}
@@ -163,6 +177,10 @@ def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
     key = (path, _os.path.getmtime(path))
     with _DOCS_CACHE_LOCK:
         hit = _DOCS_CACHE.get(key)
+        if hit is not None:
+            # LRU touch: eviction pops the front of the insertion-ordered
+            # dict, so a hit must move its key to the back
+            _DOCS_CACHE[key] = _DOCS_CACHE.pop(key)
     if hit is not None:
         return hit
     # read every stored column: dl_* norms, boost, and any declared
@@ -228,6 +246,8 @@ class SegmentData:
         if gkey:
             with _POSTINGS_CACHE_LOCK:
                 hit = _POSTINGS_CACHE.get(gkey)
+                if hit is not None:  # LRU touch (see load_segment_docs)
+                    _POSTINGS_CACHE[gkey] = _POSTINGS_CACHE.pop(gkey)
             if hit is not None:
                 self._decoded[tkey] = hit
                 return hit
@@ -299,6 +319,8 @@ class SegmentData:
         if gkey:
             with _POSTINGS_CACHE_LOCK:
                 hit = _POSTINGS_CACHE.get(gkey)
+                if hit is not None:  # LRU touch (see load_segment_docs)
+                    _POSTINGS_CACHE[gkey] = _POSTINGS_CACHE.pop(gkey)
             if hit is not None:
                 self._decoded[key] = hit
                 return hit

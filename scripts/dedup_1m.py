@@ -155,12 +155,7 @@ def main():
     def run_exact():
         groups = dedup.exact_duplicates(docs).select(
             "n", "members").collect()
-        found = set()
-        for g in groups:
-            m = sorted(g["members"])
-            for b in m[1:]:
-                found.add((m[0], b))
-        # chains (copy-of-a-copy) make found a superset keyed by root;
+        # chains (copy-of-a-copy) key groups by root;
         # recall = planted pairs whose BOTH ids share a group
         byid = {}
         for g in groups:

@@ -40,6 +40,13 @@ PER_BATCH = int(os.environ.get("SF10_SEGMENTS_PER_BATCH", "16"))
 # phases re-run after query-side changes; empty -> temp dir as before
 IX_DIR = os.environ.get("SF10_IX_DIR", "")
 PHASE = os.environ.get("SF10_PHASE", "all")  # build | query | all
+# query sub-phase: local | spark | both.  At 10M docs the local leg's
+# driver-side caches (all-segment docs + decoded postings) and the
+# spark leg's 32 per-worker caches cannot share one 125 GiB box —
+# running them in one process OOM-killed the Python workers.  Run the
+# legs as separate processes; the spark leg additionally wants
+# HAYOO_DOCS_CACHE_SEGMENTS bounded (workers inherit the env).
+QUERY_MODE = os.environ.get("SF10_QUERY_MODE", "both")
 
 
 def pctl(xs, p):
@@ -96,34 +103,43 @@ def main() -> None:
 
         if PHASE != "build":
             eng = SearchEngine(spark, ix)
-            cold, warm, per_q = [], [], {}
-            for q in ENGINE_QUERIES:
-                t0 = time.monotonic()
-                eng.search(q, k=20)
-                cold.append(time.monotonic() - t0)
-                reps = []
-                for _ in range(3):
+            per_q = report.get("per_query", {})
+            qstats = report.get("query", {})
+            if QUERY_MODE != "spark":
+                cold, warm = [], []
+                for q in ENGINE_QUERIES:
                     t0 = time.monotonic()
                     eng.search(q, k=20)
-                    reps.append(time.monotonic() - t0)
-                warm.append(sorted(reps)[1])
-                per_q[q] = {"cold_ms": round(1000 * cold[-1], 1),
-                            "warm_ms": round(1000 * warm[-1], 1)}
-            eng.warm(distributed=True)
-            dist_mem = []
-            for q in ENGINE_QUERIES:
-                eng.search(q, k=20, mode="spark")
-                t0 = time.monotonic()
-                eng.search(q, k=20, mode="spark")
-                dist_mem.append(time.monotonic() - t0)
-                per_q[q]["spark_mem_ms"] = round(1000 * dist_mem[-1], 1)
-            report["query"] = {
-                "p50_ms": pctl(warm, 0.5), "p99_ms": pctl(warm, 0.99),
-                "cold_p50_ms": pctl(cold, 0.5),
-                "cold_p99_ms": pctl(cold, 0.99),
-                "spark_mem_p50_ms": pctl(dist_mem, 0.5),
-                "spark_mem_p99_ms": pctl(dist_mem, 0.99),
-            }
+                    cold.append(time.monotonic() - t0)
+                    reps = []
+                    for _ in range(3):
+                        t0 = time.monotonic()
+                        eng.search(q, k=20)
+                        reps.append(time.monotonic() - t0)
+                    warm.append(sorted(reps)[1])
+                    per_q.setdefault(q, {}).update(
+                        cold_ms=round(1000 * cold[-1], 1),
+                        warm_ms=round(1000 * warm[-1], 1))
+                qstats.update({
+                    "p50_ms": pctl(warm, 0.5), "p99_ms": pctl(warm, 0.99),
+                    "cold_p50_ms": pctl(cold, 0.5),
+                    "cold_p99_ms": pctl(cold, 0.99),
+                })
+            if QUERY_MODE != "local":
+                eng.warm(distributed=True)
+                dist_mem = []
+                for q in ENGINE_QUERIES:
+                    eng.search(q, k=20, mode="spark")
+                    t0 = time.monotonic()
+                    eng.search(q, k=20, mode="spark")
+                    dist_mem.append(time.monotonic() - t0)
+                    per_q.setdefault(q, {})["spark_mem_ms"] = round(
+                        1000 * dist_mem[-1], 1)
+                qstats.update({
+                    "spark_mem_p50_ms": pctl(dist_mem, 0.5),
+                    "spark_mem_p99_ms": pctl(dist_mem, 0.99),
+                })
+            report["query"] = qstats
             report["per_query"] = per_q
     finally:
         if ctx:

@@ -591,6 +591,22 @@ def test_pack_sequences_offsets(spark):
     assert out[100]["bin_id"] == 0 and out[100]["bin_offset"] == 0
 
 
+def test_pack_sequences_null_text_counts_zero(spark):
+    from hayoo_spark.ops import corpus, dedup
+    # NULL text must count 0 tokens, not NULL — a NULL n_tokens NULLs
+    # the window cumsum and silently drops the doc from sum() accounting
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, "a b real words here", "s")],
+        "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           corpus.pack_sequences(df, budget=64, shard="source").collect()}
+    assert out[1]["n_tokens"] == 0
+    assert out[2]["bin_offset"] is not None
+    spans = {r["doc_id"]: r for r in
+             dedup.substring_dup_spans(df, w=3).collect()}
+    assert spans[1]["n_tokens"] == 0 and spans[1]["dup_frac_x1e4"] == 0
+
+
 def test_pack_sequences_no_global_sort_in_plan(spark):
     from hayoo_spark.ops import corpus
     df = spark.createDataFrame([(i, "a b c", f"s{i % 4}")

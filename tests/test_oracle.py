@@ -120,6 +120,18 @@ def test_fixture_parts_union_shape():
         assert extract_text_py(h) == t
 
 
+def test_fixture_parts_trailing_empty_parts_no_edge_dup():
+    # ceil-division can make trailing parts empty (start >= n_total);
+    # those parts share end == n_total with the last real slice and
+    # must NOT also emit the edge docs (unique-url invariant)
+    parts = [fixtures.make_pages_part(5, p, 4) for p in range(4)]
+    assert len(parts[3]) == 0  # [5,5) empty slice
+    u = pd.concat(parts, ignore_index=True)
+    mono = fixtures.make_pages(5)
+    assert len(u) == len(mono)
+    assert sorted(u["url"]) == sorted(mono["url"])
+
+
 def test_stoponly_doc_has_no_tokens():
     assert tokenize_py("a b c d e 1 2 3") == []
 

@@ -495,3 +495,44 @@ def test_update_split_sections_crash_retry_no_data_loss(spark, tmp_path,
     assert eng.search("only0x0", k=5) == []  # stale virtual doc purged
     for q in ["flattened", "baba", "only3x0"]:
         assert eng.search(q, k=20) == ref.search(q, k=20), q
+
+
+def test_update_empty_segments_are_not_half_deleted(spark, tmp_path):
+    """A legitimately empty segment (manifest row with docs=0, no
+    Hive partition dir) must not be mistaken for a half-deleted one:
+    an empty change set stays a no-op, and a small change set must
+    not escalate to a full cold rebuild."""
+    pages = fixtures.make_pages(10)
+    p0 = tmp_path / "pages.parquet"
+    pages.to_parquet(p0, index=False)
+    inc = str(tmp_path / "inc")
+    n_seg = 64
+    build_index(spark, str(p0), inc, n_segments=n_seg, salt_df_threshold=64)
+    import glob as _glob
+    import os as _os
+    present = _glob.glob(_os.path.join(inc, "docs", "segment=*"))
+    assert len(present) < n_seg  # precondition: some segments empty
+    man = spark.read.parquet(_os.path.join(inc, "manifest"))
+    assert man.count() == n_seg  # ... but every segment has lineage
+
+    # empty change set -> no-op
+    ch = spark.createDataFrame([], "url string")
+    res = update_index(spark, str(p0), inc, changed_urls=ch,
+                       salt_df_threshold=64)
+    assert res == {"segments_rebuilt": 0}
+
+    # single-url change set -> partial rebuild, never full_rebuild
+    pages2 = pages.copy()
+    pages2.loc[0, "text"] = "freshterm " + pages2.loc[0, "text"]
+    pages2.loc[0, "html"] = (
+        "<html><head><title>t</title></head><body><p>%s</p></body></html>"
+        % pages2.loc[0, "text"]).encode()
+    p1 = tmp_path / "pages_v1.parquet"
+    pages2.to_parquet(p1, index=False)
+    ch1 = spark.createDataFrame([(pages2.loc[0, "url"],)], "url string")
+    res = update_index(spark, str(p1), inc, changed_urls=ch1,
+                       salt_df_threshold=64)
+    assert 0 < res["segments_rebuilt"] < n_seg
+    assert not res.get("full_rebuild")
+    eng = SearchEngine(spark, inc)
+    assert eng.search("freshterm", k=5)
