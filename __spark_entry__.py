@@ -881,6 +881,59 @@ def t_bpe_pairs(spark, sf_dir):
     return bpe.bpe_pair_counts(hist, top=50)
 
 
+def d_line_dedup(spark, sf_dir):
+    """C4-style global line-level exact dedup (ops/dedup.line_dedup):
+    every distinct non-empty line keeps only its first corpus-wide
+    occurrence (min (doc_id, pos)); docs reassemble from surviving
+    lines in order.  ' data ' plays the line separator in both engines
+    (same convention as t_repetition)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " data ", "\n"))
+    return dedup.line_dedup(docs)
+
+
+def t_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding (ops/bpe.apply_bpe): merges trained
+    driver-side from the word histogram (deterministic max-count /
+    lexicographic tie rule), then the corpus encodes via the
+    Arrow-batched mapInPandas kernel — per-doc token and piece counts.
+    The GPT-2-style iterative merge application is not SQL-expressible,
+    so this entry carries no DuckDB twin (driver records the weaker
+    rows-only check); pytest asserts parity against an independent
+    pure-Python re-encode of the same corpus."""
+    from hayoo_spark.ops import bpe
+    docs = _docs(spark, sf_dir)
+    hist = bpe.word_histogram(docs, max_words=512)
+    merges = bpe.train_bpe(hist, n_merges=64)
+    return bpe.apply_bpe(docs, merges).select(
+        "doc_id", "n_tokens", "n_pieces")
+
+
+def t_domain_mixture(spark, sf_dir):
+    """Exact-proportion domain-mixture resampling
+    (ops/corpus.domain_mixture): target output shares src0/src1/src2 =
+    50/30/20%, rates derived from the per-domain counts (binding
+    domain keeps everything), decided by the deterministic per-key
+    draw both engines reproduce bit-exactly."""
+    from hayoo_spark.ops import corpus
+    return corpus.domain_mixture(
+        _docs(spark, sf_dir),
+        targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}) \
+        .select("doc_id", "source")
+
+
+def t_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (ops/textstats.quality_classifier):
+    fixed-weight linear classifier over the engineered feature row
+    (length cap, alpha ratio, stopword cap, top-bigram coverage,
+    duplicate-line fraction) -> quantized logit + keep label.  The
+    zipf text is single-line, so ' data ' plays the line separator in
+    both engines (same convention as t_repetition)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " data ", "\n"))
+    return textstats.quality_classifier(docs)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-fold analogue (T12): per-user session counts with a
     30-minute inactivity gap, via window lag + running sum."""
@@ -1003,6 +1056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pack_sequences": t_pack_sequences,
         "t_lm_perplexity": t_lm_perplexity,
         "t_bpe_pairs": t_bpe_pairs,
+        "t_bpe_encode": t_bpe_encode,
+        "d_line_dedup": d_line_dedup,
+        "t_domain_mixture": t_domain_mixture,
+        "t_quality_classifier": t_quality_classifier,
     }
 
 
@@ -1708,6 +1765,40 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     sql["t_bpe_pairs"] = duckdb_pair_counts_sql(
         f"SELECT term AS word, count(*) AS wc FROM ({_TOKS}) GROUP BY term",
         top=50)
+
+    from hayoo_spark.ops.corpus import domain_mixture_sql
+    sql["t_domain_mixture"] = domain_mixture_sql(
+        "documents", targets={"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+    sql["t_quality_classifier"] = _classifier_sql()
+
+    sql["d_line_dedup"] = """
+WITH d AS (SELECT doc_id,
+                  regexp_replace(text, ' data ', chr(10), 'g') AS text
+           FROM documents),
+arr AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l
+        FROM d),
+lines AS (SELECT doc_id,
+                 CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                 unnest(l) AS line
+          FROM arr),
+ne AS (SELECT * FROM lines WHERE length(line) > 0),
+win AS (SELECT doc_id, pos, line FROM (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ne) WHERE rn = 1),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM win GROUP BY doc_id),
+base AS (SELECT doc_id,
+                len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                                x -> length(x) > 0)) AS n_lines
+         FROM d)
+SELECT b.doc_id, b.n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN reb r USING (doc_id)"""
     return sql
 
 
@@ -1960,6 +2051,72 @@ SELECT doc_id, n_tokens,
                    + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) AS BIGINT)
          AS quality_x1e4
 FROM feat"""
+
+
+def _classifier_sql() -> str:
+    """DuckDB twin of t_quality_classifier: the same feature row over
+    the ' data '->newline view of the corpus, logit accumulated in the
+    CLASSIFIER_WEIGHTS order (IEEE addition is order-sensitive — the
+    term list is generated from the same tuple the Spark op uses)."""
+    from hayoo_spark.ops.textstats import (CLASSIFIER_BIAS,
+                                           CLASSIFIER_WEIGHTS)
+    terms = " ".join(f"+ ({float(w)!r}) * {name}"
+                     for name, w in CLASSIFIER_WEIGHTS)
+    logit = f"({float(CLASSIFIER_BIAS)!r} {terms})"
+    return f"""
+WITH d AS (SELECT doc_id,
+                  regexp_replace(text, ' data ', chr(10), 'g') AS text
+           FROM documents),
+f AS (SELECT doc_id, text,
+             list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                         x -> length(x) >= {MIN_TOKEN_LEN}) AS toks
+      FROM d),
+feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / length(regexp_replace(text, '\\s+', '', 'g'))
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','that','it','for','was')))
+                   * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM f),
+ls AS (SELECT doc_id,
+              list_filter(string_split(coalesce(text, ''), chr(10)),
+                          x -> length(x) > 0) AS ls
+       FROM d),
+base AS (SELECT doc_id, len(ls) AS n_lines,
+                len(ls) - len(list_distinct(ls)) AS dup_lines
+         FROM ls),
+toks AS (SELECT doc_id, unnest(f) AS term,
+                CAST(generate_subscripts(f, 1) - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id, toks AS f FROM f)),
+bg AS (SELECT doc_id, term || ' ' ||
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       FROM toks),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+        WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        FROM cnt GROUP BY doc_id),
+feats AS (
+  SELECT q.doc_id,
+         least(q.n_tokens / 100.0, 1.0) AS f_len,
+         q.alpha_ratio AS f_alpha,
+         least(q.stop_ratio * 5.0, 1.0) AS f_stop,
+         CASE WHEN coalesce(t.n_bigrams, 0) > 0
+              THEN t.top_bigram_n * 1.0 / t.n_bigrams
+              ELSE 0.0 END AS f_top_bigram,
+         CASE WHEN b.n_lines > 0
+              THEN b.dup_lines * 1.0 / b.n_lines
+              ELSE 0.0 END AS f_dup_line
+  FROM feat q JOIN base b USING (doc_id)
+  LEFT JOIN top t USING (doc_id))
+SELECT doc_id,
+       CAST(ROUND({logit} * 10000) AS BIGINT) AS logit_x1e4,
+       CASE WHEN {logit} >= 0 THEN 1 ELSE 0 END AS keep
+FROM feats"""
 
 
 def _lang_id_sql() -> str:

@@ -38,7 +38,8 @@ HEADLINE = [
     "d_minhash_lsh", "d_dedup_clusters", "t_clean_corpus",
     "sim_cosine_topk", "t_fingerprint", "t_quality",
     "d_substring_spans", "t_pack_sequences",
-    "t_lm_perplexity", "t_bpe_pairs",
+    "t_lm_perplexity", "t_bpe_pairs", "t_domain_mixture",
+    "t_quality_classifier",
 ]
 
 ENGINE_QUERIES = [

@@ -97,6 +97,71 @@ def hash_split(docs: DataFrame, splits: dict[str, float],
     return docs.withColumn("split", expr)
 
 
+def domain_mixture(docs: DataFrame, targets: dict[str, float],
+                   domain: str = "source", key: str = "doc_id",
+                   salt: str = "mixture") -> DataFrame:
+    """Exact-proportion domain-mixture resampling.
+
+    ``stratified_sample`` takes per-stratum KEEP RATES as given; this
+    op takes the TARGET MIXTURE (domain -> share of the output corpus,
+    e.g. the DoReMi/Pile-style domain weights) and derives the rates
+    from the data: with n_d rows per domain, the largest corpus
+    reachable by pure downsampling is  scale = min_d n_d / target_d,
+    and each domain keeps  rate_d = scale * target_d / n_d  (exactly 1
+    for the binding domain, <1 elsewhere), decided per row by the same
+    deterministic (key, salt) draw.  Domains not listed are dropped;
+    expected output composition is exactly ``targets``.
+
+    Plan shape at scale: ONE map-side-combined count per domain (a
+    handful of rows), a scalar min, then a broadcast join of the tiny
+    rate table back onto the scan — the corpus itself never shuffles.
+    The same rows survive at any parallelism, and incremental corpus
+    growth only moves rates, never re-flips old rows' draws except
+    through the rate boundary.
+    """
+    if not targets or any(t <= 0 for t in targets.values()):
+        raise ValueError("targets must be non-empty with positive shares")
+    # sorted-order CASE chain; the 0.0 default never survives the
+    # domain filter below
+    tgt = F.lit(0.0)
+    for val, t in sorted(targets.items()):
+        tgt = F.when(F.col(domain) == val, F.lit(float(t))).otherwise(tgt)
+
+    kept = docs.filter(F.col(domain).isin(sorted(targets)))
+    cnt = (kept.groupBy(domain).agg(F.count("*").alias("n"))
+           .withColumn("target", tgt))
+    scale = cnt.agg(F.min(F.col("n") / F.col("target")).alias("scale"))
+    rates = (cnt.crossJoin(F.broadcast(scale))
+             .select(domain,
+                     ((F.col("scale") * F.col("target")) / F.col("n"))
+                     .alias("rate")))
+    return (kept.join(F.broadcast(rates), domain)
+            .filter(_u01(F.col(key), salt) < F.col("rate"))
+            .drop("rate"))
+
+
+def domain_mixture_sql(table: str, targets: dict[str, float],
+                       domain: str = "source", key: str = "doc_id",
+                       salt: str = "mixture",
+                       cols: str = "doc_id, source") -> str:
+    """DuckDB twin of ``domain_mixture`` — identical float evaluation
+    order (n / target, min, (scale * target) / n) so the kept set is
+    bit-identical."""
+    doms = ", ".join(f"'{d}'" for d in sorted(targets))
+    case = " ".join(f"WHEN '{d}' THEN {float(t)!r}"
+                    for d, t in sorted(targets.items()))
+    return f"""
+WITH d AS (SELECT * FROM {table} WHERE {domain} IN ({doms})),
+cnt AS (SELECT {domain}, count(*) AS n,
+               CASE {domain} {case} END AS target
+        FROM d GROUP BY {domain}),
+s AS (SELECT min(n / target) AS scale FROM cnt),
+r AS (SELECT {domain}, (scale * target) / n AS rate
+      FROM cnt CROSS JOIN s)
+SELECT {cols} FROM d JOIN r USING ({domain})
+WHERE {u01_sql(key, salt)} < rate"""
+
+
 def pack_sequences(docs: DataFrame, budget: int, shard: str,
                    key: str = "doc_id", text: str = "text") -> DataFrame:
     """Sequence-packing assignment: concatenate docs in ``key`` order

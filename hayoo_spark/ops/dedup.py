@@ -459,3 +459,50 @@ def substring_dup_spans(docs: DataFrame, key: str = "doc_id",
                            F.round(F.coalesce("dup_cov_tokens", F.lit(0))
                                    * 10000.0 / F.col("n_tokens")))
                     .otherwise(F.lit(0)).cast("bigint").alias("dup_frac_x1e4")))
+
+
+def line_dedup(docs: DataFrame, key: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """C4-style GLOBAL line-level exact dedup (Raffel et al. 2020 §2.2
+    dedup "three-sentence spans" corpus-wide; Dolma/RefinedWeb run the
+    same pass at line/paragraph granularity): every distinct non-empty
+    line keeps only its FIRST occurrence — min (key, pos) across the
+    whole corpus, including repeats within one document — and each doc
+    is reassembled from its surviving lines in original order.
+
+    Output: (key, n_lines, n_kept, text_dedup).
+
+    Scale shape — deliberately NOT a row_number window: boilerplate
+    lines ("All rights reserved.") occur billions of times at web
+    scale, and a window partitioned by line hash sorts each group in
+    ONE task (unboundable skew).  Instead the winner per line is
+    min(struct(key, pos, line)) — a map-side-combinable aggregate, so
+    the giant group collapses to one row per partition before the
+    shuffle.  Two shuffles total: the winner agg on the 56-bit line
+    hash and the per-doc reassembly groupBy; no joins on the skewed
+    hash at all.
+    """
+    raw = F.split(F.coalesce(F.col(text), F.lit("")), "\n")
+    lines = (docs.select(key, F.posexplode(raw).alias("pos", "line"))
+             .filter(F.length("line") > 0))
+    base = docs.select(
+        key,
+        F.size(F.filter(raw, lambda x: F.length(x) > 0)).alias("n_lines"))
+    # one row per distinct line: its first occurrence, text carried
+    # along inside the min-struct so no join back is needed
+    win = (lines.groupBy(_md5i(F.col("line")).alias("h"))
+           .agg(F.min(F.struct(key, "pos", "line")).alias("w"))
+           .select(F.col(f"w.{key}").alias(key), F.col("w.pos").alias("pos"),
+                   F.col("w.line").alias("line")))
+    rebuilt = (win.groupBy(key)
+               .agg(F.count("*").alias("n_kept"),
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"])).alias("text_dedup")))
+    return (base.join(rebuilt, key, "left")
+            .select(key, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))

@@ -156,6 +156,66 @@ def repetition_signals(docs: DataFrame, key: str = "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams")))
 
 
+#: fixed published weights for the quality-classifier gate (the
+#: fastText/CCNet-style "model-based quality filter" slot, with a
+#: deterministic linear model so both engines score bit-identically;
+#: a trained model drops into the same feature row).  Feature order is
+#: the evaluation order — part of the cross-engine contract.
+CLASSIFIER_WEIGHTS = (
+    ("f_len", 1.6),        # min(n_tokens / 100, 1)
+    ("f_alpha", 2.2),      # letter chars / non-space chars
+    ("f_stop", 1.1),       # min(stopword ratio * 5, 1)
+    ("f_top_bigram", -2.8),  # most-frequent-bigram coverage
+    ("f_dup_line", -1.9),  # duplicate-line fraction
+)
+CLASSIFIER_BIAS = -1.3
+
+
+def quality_classifier(docs: DataFrame, key: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """Linear quality classifier over the engineered feature row —
+    the decision gate composing the heuristic features
+    (``quality_score``) with the Gopher repetition signals
+    (``repetition_signals``) into one logit + keep label.
+
+    logit = bias + Σ w_i · f_i  in the fixed ``CLASSIFIER_WEIGHTS``
+    order (left-to-right — IEEE addition is order-sensitive, and the
+    DuckDB twin evaluates identically); ``keep = logit >= 0``.  The
+    logit ships quantized (x1e4 bigint) so the cross-engine value hash
+    is drift-free.
+
+    Plan shape at scale: Catalyst fuses the two feature projections
+    over ONE scan; the only shuffle is the (key, bigram) count inside
+    repetition_signals — the same partial-agg shape it has alone.
+    """
+    # NULL text scores as '' — otherwise size(NULL) feeds NULL into
+    # least(), which IGNORES NULLs and silently pins f_len to 1.0
+    docs = docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
+    q = quality_score(docs, key, text) \
+        .select(key, "n_tokens", "alpha_ratio", "stop_ratio")
+    r = repetition_signals(docs, key, text)
+    feats = q.join(r, key).select(
+        key,
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        .alias("f_len"),
+        F.col("alpha_ratio").alias("f_alpha"),
+        F.least(F.col("stop_ratio") * 5.0, F.lit(1.0)).alias("f_stop"),
+        F.when(F.col("n_bigrams") > 0,
+               F.col("top_bigram_n").cast("double") / F.col("n_bigrams"))
+        .otherwise(F.lit(0.0)).alias("f_top_bigram"),
+        F.when(F.col("n_lines") > 0,
+               F.col("dup_lines").cast("double") / F.col("n_lines"))
+        .otherwise(F.lit(0.0)).alias("f_dup_line"),
+    )
+    logit = F.lit(float(CLASSIFIER_BIAS))
+    for name, w in CLASSIFIER_WEIGHTS:
+        logit = logit + F.lit(float(w)) * F.col(name)
+    return feats.select(
+        key,
+        F.round(logit * 10000).cast("bigint").alias("logit_x1e4"),
+        F.when(logit >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"))
+
+
 def duckdb_tokens_cte(table: str, key: str, text_col: str) -> str:
     """(key, term, pos) with positions assigned AFTER the min-length
     filter, matching tokens_col + posexplode exactly.  Uses paired

@@ -618,3 +618,154 @@ def test_pack_sequences_no_global_sort_in_plan(spark):
     # shard), never a global Sort/single partition
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_domain_mixture_exact_proportions(spark):
+    from hayoo_spark.ops import corpus
+    # skewed domains: 600 a, 300 b, 60 c; targets 50/30/20 -> the
+    # binding domain is c (60 / 0.2 = 300), so expected keeps are
+    # a 150, b 90, c 60 (c keeps EVERYTHING, rate exactly 1)
+    rows = ([(i, "t", "a") for i in range(600)]
+            + [(1000 + i, "t", "b") for i in range(300)]
+            + [(2000 + i, "t", "c") for i in range(60)]
+            + [(3000 + i, "t", "junk") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.domain_mixture(
+        df, targets={"a": 0.5, "b": 0.3, "c": 0.2}).collect()
+    by = pd.Series([r["source"] for r in out]).value_counts()
+    assert "junk" not in by  # unlisted domains drop
+    assert by["c"] == 60  # binding domain keeps all rows
+    # the others keep ~rate_d * n_d in expectation (within hash noise)
+    assert 120 <= by["a"] <= 180 and 70 <= by["b"] <= 110
+    # determinism: the same rows survive at any parallelism
+    again = sorted(r["doc_id"] for r in corpus.domain_mixture(
+        df.repartition(13), targets={"a": 0.5, "b": 0.3, "c": 0.2}).collect())
+    assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_domain_mixture_broadcasts_rates(spark):
+    from hayoo_spark.ops import corpus
+    df = spark.createDataFrame([(i, "t", f"s{i % 3}") for i in range(60)],
+                               "doc_id long, text string, source string")
+    plan = corpus.domain_mixture(
+        df, targets={"s0": 0.5, "s1": 0.3, "s2": 0.2}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the tiny rate table broadcasts back onto the scan — the corpus
+    # side must never shuffle on the domain key
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_domain_mixture_rejects_bad_targets(spark):
+    from hayoo_spark.ops import corpus
+    df = spark.createDataFrame([(1, "t", "a")],
+                               "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        corpus.domain_mixture(df, targets={})
+    with pytest.raises(ValueError):
+        corpus.domain_mixture(df, targets={"a": -0.5})
+
+
+def test_quality_classifier_matches_python(spark, docs_df):
+    import math
+
+    from hayoo_spark.analysis import tokenize_py
+    from hayoo_spark.ops.textstats import (CLASSIFIER_BIAS,
+                                           CLASSIFIER_WEIGHTS, STOPWORDS)
+    out = {r["doc_id"]: r for r in
+           textstats.quality_classifier(docs_df).collect()}
+    for row in docs_df.collect():
+        text = row["text"] or ""
+        toks = tokenize_py(text)
+        lines = [ln for ln in text.split("\n") if ln]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max([bigrams.count(x) for x in set(bigrams)], default=0)
+        nonspace = len("".join(text.split()))
+        alpha = sum(1 for ch in text if ch.isascii() and ch.isalpha())
+        feats = {
+            "f_len": min(len(toks) / 100.0, 1.0),
+            "f_alpha": alpha / nonspace if nonspace else 0.0,
+            "f_stop": min(
+                sum(1 for t in toks if t in STOPWORDS["en"]) / len(toks) * 5.0,
+                1.0) if toks else 0.0,
+            "f_top_bigram": top / len(bigrams) if bigrams else 0.0,
+            "f_dup_line": ((len(lines) - len(set(lines))) / len(lines)
+                           if lines else 0.0),
+        }
+        logit = CLASSIFIER_BIAS
+        for name, w in CLASSIFIER_WEIGHTS:
+            logit += w * feats[name]
+        got = out[row["doc_id"]]
+        assert abs(got["logit_x1e4"] - logit * 10000) <= 1, row["doc_id"]
+        assert got["keep"] == (1 if logit >= 0 else 0)
+        assert not math.isnan(logit)
+
+
+def test_quality_classifier_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.quality_classifier(df).collect()}
+    # all features 0 -> logit == bias for both degenerate docs
+    from hayoo_spark.ops.textstats import CLASSIFIER_BIAS
+    want = round(CLASSIFIER_BIAS * 10000)
+    assert out[1]["logit_x1e4"] == want and out[2]["logit_x1e4"] == want
+    assert out[1]["keep"] == 0
+
+
+def test_apply_bpe_matches_bruteforce(spark, docs_df):
+    from hayoo_spark.analysis import tokenize_py
+    from hayoo_spark.ops import bpe
+    hist = bpe.word_histogram(docs_df, max_words=256)
+    merges = bpe.train_bpe(hist, n_merges=48)
+    rank = {p: i for i, p in enumerate(merges)}
+    out = {r["doc_id"]: r for r in bpe.apply_bpe(docs_df, merges).collect()}
+    for row in docs_df.collect():
+        toks = tokenize_py(row["text"])
+        n_pieces = sum(len(bpe.encode_word(w, rank)) for w in toks)
+        got = out[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["n_pieces"] == n_pieces
+        if toks:
+            assert got["pieces_per_token"] == pytest.approx(
+                n_pieces / len(toks))
+
+
+def test_line_dedup_first_occurrence_global(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared line\nbeta"),
+         (2, "shared line\ngamma\nshared line"),
+         (3, "delta"),
+         (4, ""),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    # doc 1 saw 'shared line' first (doc_id order) and keeps everything
+    assert out[1]["text_dedup"] == "alpha\nshared line\nbeta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses BOTH its copies (global + within-doc dedup)
+    assert out[2]["text_dedup"] == "gamma"
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "delta"
+    # degenerate docs survive with empty reassembly
+    assert out[4]["n_lines"] == 0 and out[4]["text_dedup"] == ""
+    assert out[5]["n_lines"] == 0 and out[5]["n_kept"] == 0
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    df = spark.createDataFrame([(7, "x\ny\nx\nx\nz")],
+                               "doc_id long, text string")
+    row = dedup.line_dedup(df).collect()[0]
+    assert row["text_dedup"] == "x\ny\nz"
+    assert row["n_lines"] == 5 and row["n_kept"] == 3
+
+
+def test_line_dedup_no_skewed_window_in_plan(spark):
+    # the winner-per-line step must be a partial-aggregable groupBy,
+    # never a row_number window partitioned by the line hash (one
+    # boilerplate line = one unboundable sort task at web scale)
+    df = spark.createDataFrame([(i, "a\nb") for i in range(20)],
+                               "doc_id long, text string")
+    plan = dedup.line_dedup(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
