@@ -220,6 +220,32 @@ def q_case_sensitive(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_case_phrase(spark, sf_dir):
+    """Q4 case-sensitive phrase flavor (`!"w1 w2"` — Hunt QPhrase/QCase,
+    parser.py phrase flavors): case-preserving tokenization, adjacency
+    required in the exact-case token stream.  The all-lowercase corpus
+    gets a deterministic case mutation (doc_id % 3 == 0 capitalizes
+    'fast') so the CS phrase "Fast join" hits only mutated docs where
+    the pair is adjacent; the oracle mutates identically."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    mut = F.when(k % 3 == 0,
+                 F.regexp_replace(F.col("text"), "fast", "Fast")) \
+        .otherwise(F.col("text"))
+    toks = docs.select(k.alias("doc_id"),
+                       F.posexplode(tokens_col(mut, lowercase=False))
+                       .alias("pos", "term"))
+    a = toks.filter(F.col("term") == "Fast") \
+        .select("doc_id", F.col("pos").alias("p0"))
+    b = toks.filter(F.col("term") == "join") \
+        .select("doc_id", F.col("pos").alias("p1"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("p1") == F.col("p0") + 1)
+        .groupBy("doc_id").agg(F.count("*").alias("n_occ"))
+    )
+
+
 def q_field_weighted(spark, sf_dir):
     """Multi-field (context) BM25F scoring — SURVEY §2 A2/Q5 and the
     reference's weighted context schema (hayooIndexer/src/Hayoo/Hunt/
@@ -1048,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": t_pii_scrub,
         "d_contamination": d_contamination,
         "q_case_sensitive": q_case_sensitive,
+        "q_case_phrase": q_case_phrase,
         "t_repetition": t_repetition,
         "t_url_filter": t_url_filter,
         "d_substring_spans": d_substring_spans,
@@ -1217,6 +1244,22 @@ SELECT doc_id,
 FROM t GROUP BY doc_id
 HAVING sum(CASE WHEN term = 'Spark' THEN 1 ELSE 0 END) > 0
 ORDER BY doc_id"""
+    sql["q_case_phrase"] = f"""
+WITH m AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                      THEN replace(text, 'fast', 'Fast')
+                      ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(f) AS term,
+         CAST(generate_subscripts(f, 1) - 1 AS BIGINT) AS pos FROM (
+    SELECT doc_id, list_filter(regexp_extract_all(text, '{TOKEN_RE_CS}'),
+                               x -> length(x) >= {MIN_TOKEN_LEN}) AS f
+    FROM m))
+SELECT a.doc_id, count(*) AS n_occ
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'Fast' AND b.term = 'join'
+GROUP BY a.doc_id"""
     sql["q_field_weighted"] = f"""
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),

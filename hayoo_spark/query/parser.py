@@ -12,6 +12,11 @@ App.hs:144-200):
     word~                 fuzzy match, edit distance <= 1 over the term
                           dictionary (`~` flavor, Examples.md:34)
     "w1 w2"               phrase (Examples.md:30)
+    !"w1 w2"              case-sensitive phrase (Hunt QPhrase/QCase —
+                          `!` marks case flavors for phrases as for
+                          words; case preserved, CS twin field)
+    ctx:"w1 w2"           scoped phrase (setContexts [c] . qPhrase,
+                          App/Types.hs:175); ctx:!"w1 w2" scoped CS
     lang:en  url:...      field-scoped filter (Examples.md:8-12)
     warc_ts:[A TO B]      range on a date field (Examples.md:37-39)
     a AND b, a OR b       boolean (Examples.md:19-23)
@@ -48,7 +53,8 @@ _LEX = re.compile(
     r"""
     \s*(
         \( | \) |
-        "[^"]*" |
+        [^\s()^"]+:!?"[^"]*" |
+        !?"[^"]*" |
         \[[^\]]*\] |
         \^[0-9.]+ |
         [^\s()^]+
@@ -200,6 +206,14 @@ def _parse_atom(toks: list[str]):
     if t.startswith('"'):
         words = t.strip('"').lower().split()
         return _maybe_boost(Phrase(tuple(words)), rest)
+    if t.startswith('!"'):
+        # `!"w1 w2"` = case-sensitive phrase (Hunt's QPhrase/QCase
+        # flavor — the `!` marker applies to phrases exactly as it
+        # does to words): case is PRESERVED and adjacency is
+        # evaluated over the case-sensitive twin field.
+        from .plan import CS_FIELD
+        words = t[1:].strip('"').split()
+        return _maybe_boost(Phrase(tuple(words), field=CS_FIELD), rest)
     if t.startswith("!") and len(t) > 1:
         # `!word` = case-sensitive exact term (App.hs:187-200); case is
         # PRESERVED and the term targets the case-sensitive field.
@@ -227,6 +241,19 @@ def _parse_atom(toks: list[str]):
             return _maybe_boost(RangeFilter(field, m[0].strip(), m[1].strip()), rest)
         if field in FILTER_FIELDS:
             return _maybe_boost(Term(val.lower(), field=field), rest)
+        if val.startswith('"'):
+            # scoped phrase (`author:"John Doe"` — the reference builds
+            # these via `setContexts [c] . qPhrase`, App/Types.hs:175);
+            # no-case default, adjacency within the named context
+            words = val.strip('"').lower().split()
+            return _maybe_boost(Phrase(tuple(words), field=field), rest)
+        if val.startswith('!"'):
+            # scoped case-sensitive phrase: `name:!"Data Map"` — the
+            # scoped `!` targets the context's case-sensitive twin,
+            # same convention as the scoped word flavors below
+            words = val[1:].strip('"').split()
+            return _maybe_boost(Phrase(tuple(words), field=field + "_cs"),
+                                rest)
         if val.startswith("!") and len(val) > 1:
             # scoped case-sensitive flavor (`name:!mapM`): the
             # reference's contexts preserve case and the query flavor
@@ -278,10 +305,14 @@ def print_query(node: Node) -> str:
     if isinstance(node, Fuzzy):
         return _print_leaf(node.term, "~", node.field, node.boost)
     if isinstance(node, Phrase):
+        from .plan import CS_FIELD
         s = '"' + " ".join(node.terms) + '"'
-        if node.field != DEFAULT_FIELD:
-            s = f"{node.field}:{s}"  # (not parseable scoped; phrases
-            # are default-field in the surface syntax, like the parser)
+        if node.field == CS_FIELD:
+            s = "!" + s
+        elif node.field.endswith("_cs"):
+            s = f"{node.field[:-3]}:!{s}"
+        elif node.field != DEFAULT_FIELD:
+            s = f"{node.field}:{s}"
         return s + (_fmt_boost(node.boost) if node.boost != 1.0 else "")
     if isinstance(node, RangeFilter):
         return f"{node.field}:[{node.lo} TO {node.hi}]"

@@ -48,6 +48,16 @@ QUERIES = [
     "(baba OR bibaba) AND nibaba",
     "tag:alpha AND baba AND NOT nibaba",
     'title:baba AND "baba baba"^2',
+    # r6: phrase case/scope flavors (Hunt QPhrase QCase; scoped
+    # phrases per setContexts [c] . qPhrase, App/Types.hs:175)
+    '!"CamelCase camelcase"',       # CS phrase, adjacent in body_cs
+    '!"CAMELCASE CamelCase"',       # CS phrase, later adjacency
+    '!"CamelCase CamelCase"',       # no CS adjacency -> empty
+    '!"camelcase camelcase"',       # folded pair absent in CS stream
+    '"camelcase camelcase"',        # no-case: all variants fold
+    'title:"baba baba"',            # scoped phrase
+    '!"CamelCase camelcase" OR baba',
+    '!"CamelCase camelcase"^3 OR "baba baba"',
 ]
 
 
@@ -118,6 +128,18 @@ def test_case_sensitive_distinguishes(mf_oracle, mf_engine):
     assert cs1[0][1] != cs2[0][1]  # tf 2 vs tf 1
     folded = dict(mf_engine.search("camelcase", k=5))
     assert "https://edge.org/case" in folded
+
+
+def test_case_sensitive_phrase_semantics(mf_engine):
+    """`!"w1 w2"` requires case-exact adjacency in the CS stream; the
+    no-case phrase folds all case variants (body is
+    "CamelCase camelcase CAMELCASE CamelCase plainword")."""
+    assert mf_engine.search('!"CamelCase camelcase"', k=5)
+    assert mf_engine.search('!"CAMELCASE CamelCase"', k=5)
+    assert mf_engine.search('!"CamelCase CamelCase"', k=5) == []
+    assert mf_engine.search('!"camelcase camelcase"', k=5) == []
+    folded = mf_engine.search('"camelcase camelcase"', k=5)
+    assert folded and folded[0][0] == "https://edge.org/case"
 
 
 def test_field_dictionaries_are_separate(mf_engine):

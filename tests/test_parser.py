@@ -95,9 +95,28 @@ def test_scoped_case_sensitive_flavors():
     assert parse("name:MapM") == P.Term("mapm", field="name")
 
 
+def test_phrase_case_and_scope_flavors():
+    """Phrases take the same case/scope flavors as words (Hunt QPhrase
+    QCase; scoped phrases per setContexts [c] . qPhrase)."""
+    from hayoo_spark.query.plan import CS_FIELD
+    assert parse('!"Foo Bar"') == P.Phrase(("Foo", "Bar"), field=CS_FIELD)
+    assert parse('name:"John Doe"') == P.Phrase(("john", "doe"),
+                                                field="name")
+    assert parse('name:!"Data Map"') == P.Phrase(("Data", "Map"),
+                                                 field="name_cs")
+    assert parse('!"Foo Bar"^2') == P.Phrase(("Foo", "Bar"),
+                                             field=CS_FIELD, boost=2.0)
+    # composes under booleans
+    got = parse('!"Foo Bar" AND name:"john doe"')
+    assert got == P.And((P.Phrase(("Foo", "Bar"), field=CS_FIELD),
+                         P.Phrase(("john", "doe"), field="name")))
+
+
 def test_scoped_case_sensitive_print_roundtrip():
     from hayoo_spark.query.parser import print_query
     for q in ("name:!MapM", "name:!fooB*", "name:!MapM~", "!MapM",
-              "name:!MapM^2.5", "name:!a AND !B OR x:!C*"):
+              "name:!MapM^2.5", "name:!a AND !B OR x:!C*",
+              '!"Foo Bar"', 'name:"john doe"', 'name:!"Data Map"^2',
+              '!"Foo Bar" AND NOT name:"john doe"'):
         ast = parse(q)
         assert parse(print_query(ast)) == ast, q
