@@ -886,6 +886,34 @@ def t_pack_sequences(spark, sf_dir):
                                  shard="source")
 
 
+def t_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (ops/corpus.chunk_documents):
+    32-token windows every 24 tokens — the RAG / long-context prep
+    step.  Pure codegen fan-out, zero shuffle; zero-token docs emit
+    zero chunks."""
+    from hayoo_spark.ops import corpus
+    return corpus.chunk_documents(_docs(spark, sf_dir), size=32,
+                                  stride=24)
+
+
+def t_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 keywords by tf-idf (ops/textstats.tfidf_keywords);
+    the idf factor is the integer surrogate (1e6*N) DIV df so both
+    engines rank with exact integer arithmetic."""
+    out = textstats.tfidf_keywords(_docs(spark, sf_dir), k=3)
+    return out.select("doc_id", F.col("rank").cast("bigint").alias("rank"),
+                      "term", "tf", "score_q")
+
+
+def d_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs
+    (ops/dedup.semantic_dedup_pairs): deterministic IVF cells, pairwise
+    cosine only WITHIN a cell (equi-join on cell — never a global
+    cross join), threshold 0.30 on the double-cast dot."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.semantic_dedup_pairs(emb, n_cells=16, threshold=0.30)
+
+
 def t_lm_perplexity(spark, sf_dir):
     """CCNet-style model-based quality signal (ops/lm.lm_perplexity):
     per-doc bits-per-token under a self-trained add-one bigram LM.
@@ -1081,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": t_stratified_sample,
         "t_hash_split": t_hash_split,
         "t_pack_sequences": t_pack_sequences,
+        "t_chunk_docs": t_chunk_docs,
+        "t_tfidf_keywords": t_tfidf_keywords,
+        "d_semantic_dedup": d_semantic_dedup,
         "t_lm_perplexity": t_lm_perplexity,
         "t_bpe_pairs": t_bpe_pairs,
         "t_bpe_encode": t_bpe_encode,
@@ -1779,6 +1810,62 @@ SELECT doc_id, source, n_tokens,
        CAST(floor(strt / 256.0) AS BIGINT) AS bin_id,
        strt % 256 AS bin_offset
 FROM s"""
+    sql["t_chunk_docs"] = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                             x -> length(x) >= {MIN_TOKEN_LEN}) AS f
+  FROM documents),
+st AS (SELECT doc_id, f, len(f) AS n, unnest(range(0, len(f), 24)) AS start
+       FROM tk WHERE len(f) > 0)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(32, n - start) AS BIGINT) AS n_tokens,
+       f[CAST(start + 1 AS INT)] AS first_term,
+       f[CAST(start + least(32, n - start) AS INT)] AS last_term
+FROM st"""
+    sql["t_tfidf_keywords"] = f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+              tf.tf * ((n.n * 1000000) // dfr.df) AS score_q
+       FROM tf JOIN dfr USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+       CAST(score_q AS BIGINT) AS score_q
+FROM r WHERE rank <= 3"""
+    sql["d_semantic_dedup"] = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+ce AS (SELECT cid, generate_subscripts(cv, 1) AS j,
+              unnest(cv)::DOUBLE AS y
+       FROM c),
+cn AS (SELECT cid, sqrt(sum(y * y)) AS nrm FROM ce GROUP BY cid),
+dots AS (SELECT e.vec_id, ce.cid, sum(e.x * ce.y) AS d
+         FROM e JOIN ce USING (j) GROUP BY e.vec_id, ce.cid),
+scored AS (SELECT vec_id, dots.cid, d / nrm AS s
+           FROM dots JOIN cn ON cn.cid = dots.cid),
+cell AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+           FROM scored) WHERE rn = 1),
+ee AS (SELECT e.vec_id, cell.cid, e.j, e.x FROM e JOIN cell USING (vec_id)),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cell,
+                 sum(a.x * b.x) AS dot,
+                 sqrt(sum(a.x * a.x)) AS na, sqrt(sum(b.x * b.x)) AS nb
+          FROM ee a JOIN ee b ON a.j = b.j AND a.cid = b.cid
+                             AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id, a.cid)
+SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell,
+       CAST(ROUND(dot/(na*nb) * 10000) AS BIGINT) AS cos_x1e4
+FROM pairs WHERE dot/(na*nb) >= 0.30"""
     sql["t_lm_perplexity"] = f"""
 WITH toks AS ({_TOKS_POS}),
 uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),

@@ -192,3 +192,41 @@ def pack_sequences(docs: DataFrame, budget: int, shard: str,
             .select(key, shard, "n_tokens",
                     F.floor(start / budget).alias("bin_id"),
                     (start % budget).alias("bin_offset")))
+
+
+def chunk_documents(docs: DataFrame, size: int = 128, stride: int = 96,
+                    key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context
+    training prep step): each doc's token stream is cut into windows of
+    ``size`` tokens starting every ``stride`` (overlap = size−stride).
+
+    Returns (key, chunk_id, start, n_tokens, first_term, last_term) —
+    the chunk ASSIGNMENT relation; materializing chunk text is a
+    downstream projection (``slice(tk, start+1, size)``) kept out of
+    the contract so the output stays narrow.
+
+    Scale shape: pure codegen — tokenize, one ``sequence``/``explode``
+    fan-out per doc, arithmetic; no shuffle at all (chunk rows inherit
+    the doc's partition), so 100 TB chunks at scan speed.  Zero-token
+    docs produce zero chunks by contract.
+
+    Reference analogue: the reference splits pages into per-declaration
+    virtual docs at anchor boundaries (split.py T1, Split.hs); this is
+    the fixed-window counterpart a token-budgeted trainer needs.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    d = (docs.select(key, tokens_col(text).alias("tk"))
+         .withColumn("n", F.size("tk"))
+         .filter(F.col("n") > 0))
+    d = d.select(key, "tk", "n",
+                 F.explode(F.sequence(F.lit(0), F.col("n") - 1,
+                                      F.lit(stride))).alias("start"))
+    n_tok = F.least(F.lit(size), F.col("n") - F.col("start"))
+    return d.select(
+        key,
+        (F.col("start") / stride).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.element_at("tk", F.col("start") + 1).alias("first_term"),
+        F.element_at("tk", F.col("start") + n_tok).alias("last_term"))

@@ -506,3 +506,51 @@ def line_dedup(docs: DataFrame, key: str = "doc_id",
             .select(key, "n_lines",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
+def semantic_dedup_pairs(emb: DataFrame, n_cells: int = 16,
+                         threshold: float = 0.30, key: str = "vec_id",
+                         vec: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into cells, then compare
+    pairs only WITHIN a cell — the all-pairs O(N²) cosine becomes
+    O(sum of cell²), the paper's exact trick for web scale.
+
+    Cells reuse the deterministic IVF assignment
+    (similarity.ivf_centroids/ivf_assign: centroids = the n_cells
+    smallest keys, nearest-by-cosine, smallest cid on ties) so the
+    DuckDB twin reproduces the clustering bit-for-bit.  Output:
+    (id_a, id_b, cell, cos_x1e4) for within-cell pairs with
+    cosine >= threshold, a < b; feed to ``dedup_clusters`` to pick
+    keepers (SemDeDup keeps one doc per similarity group).
+
+    Scale shape: the pair join is an equi-join on ``cell`` (hash
+    partition by cell, pairs form per-partition) — the corpus never
+    cross-joins globally.  At 100 TB, ``cell`` becomes the vector
+    table's partition key and each cell's pairs build in one task;
+    skewed cells split by the same salting lever the posting builder
+    uses.  Float32 inputs are cast to double BEFORE arithmetic (the
+    embedding_neardup_pairs precision note).
+    """
+    from .similarity import ivf_assign, ivf_centroids
+    C, cids = ivf_centroids(emb, n_cells, key, vec)
+    assigned = ivf_assign(emb, C, cids, key, vec)
+    dvec = F.col(vec).cast("array<double>")
+    norm = F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = (emb.select(F.col(key), dvec.alias("v"), norm.alias("nrm"))
+         .join(assigned.select(key, "cell"), key))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{key}").alias("id_a"),
+                F.col(f"b.{key}").alias("id_b"),
+                F.col("a.cell").alias("cell"),
+                F.round(F.col("cos") * 10000).cast("bigint")
+                .alias("cos_x1e4"))
+    )

@@ -297,3 +297,35 @@ def clean_corpus(docs: DataFrame, key: str = "doc_id",
                 .select(F.col("doc_id").alias(key)))
         out = out.join(drop, key, "left_anti")
     return out
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, key: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """Per-document top-k keywords by tf-idf (document fingerprinting /
+    tagging for corpus exploration).
+
+    The idf factor is the integer surrogate ``(1e6 * N) DIV df`` —
+    exact integer arithmetic on both engines (a float ``ln`` would be
+    libm-dependent and flip rank ties cross-engine; the integer
+    reciprocal-df is order-equivalent to idf for ranking within a
+    corpus).  score = tf * idf_q; rank ties break on term asc.
+
+    Scale shape: tf is one map-side-combinable groupBy; df is a second
+    over ~|vocab| rows, broadcast back onto tf (the 100 TB side never
+    re-shuffles); the per-doc top-k window partitions by doc — millions
+    of tiny partitions, no skew (a doc has bounded distinct terms).
+    """
+    from pyspark.sql import Window
+    toks = docs.select(key, F.explode(tokens_col(text)).alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(F.broadcast(dfr), "term")
+              .withColumn("score_q",
+                          F.col("tf") * F.expr(
+                              f"CAST({n_docs} AS BIGINT) * 1000000 DIV df")))
+    w = Window.partitionBy(key).orderBy(F.col("score_q").desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key, "rank", "term", "tf",
+                    F.col("score_q").cast("bigint").alias("score_q")))

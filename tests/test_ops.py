@@ -769,3 +769,62 @@ def test_line_dedup_no_skewed_window_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_chunk_documents_layout(spark):
+    from hayoo_spark.ops import corpus
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["one two three four five six seven",
+                                 "", "aa bb"]})
+    out = corpus.chunk_documents(spark.createDataFrame(pdf), size=3,
+                                 stride=2).orderBy("doc_id", "chunk_id")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, 0, 0, 3, "one", "three"), (1, 1, 2, 3, "three", "five"),
+        (1, 2, 4, 3, "five", "seven"), (1, 3, 6, 1, "seven", "seven"),
+        (3, 0, 0, 2, "aa", "bb")]  # empty doc -> no chunks
+    # every token position is covered by at least one chunk
+    cover = set()
+    for _, _, start, n, _, _ in rows[:4]:
+        cover |= set(range(start, start + n))
+    assert cover == set(range(7))
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    """Chunking must stay narrow: no Exchange in the plan (chunk rows
+    inherit the doc's partition)."""
+    from hayoo_spark.ops import corpus
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    plan = corpus.chunk_documents(spark.createDataFrame(pdf)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_keywords_ranking(spark, docs_df):
+    out = textstats.tfidf_keywords(docs_df, k=3)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        assert len(rs) <= 3
+        rs = sorted(rs, key=lambda r: r["rank"])
+        scores = [r["score_q"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    assert by_doc  # sanity: non-empty
+
+
+def test_semantic_dedup_within_cell_only(spark, emb_df):
+    pairs = dedup.semantic_dedup_pairs(emb_df, n_cells=4,
+                                       threshold=0.90).collect()
+    assert pairs, "planted clusters must produce pairs"
+    # the planted structure: 4 gaussian clusters; within-cell pairs at
+    # 0.90 must connect same-label vectors only
+    same = sum(1 for r in pairs if r["id_a"] % 4 == r["id_b"] % 4)
+    assert same == len(pairs)
+    # subset property: every semantic pair is also a global near-dup
+    # pair at the same threshold (cells only PRUNE comparisons)
+    glob = {(r["id_a"], r["id_b"])
+            for r in dedup.embedding_neardup_pairs(
+                emb_df, threshold=0.90).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in pairs} <= glob
