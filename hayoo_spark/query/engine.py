@@ -425,6 +425,9 @@ class SearchEngine:
         weights, default_fields = self.field_weights, self.default_fields
         date_fields = self.date_fields
         docs_root = os.path.join(self.index_dir, "docs")
+        post_root = os.path.join(self.index_dir, "postings")
+        avgdl_key = tuple(sorted(self.avgdl.items()))
+        n_segments = len(self._segments)
         flat, flat_not = _flat_with_not(ast, self.field_weights)
         # a bare phrase is segment-prunable like a flat query (every
         # term must be present) and has its own bound-ordered evaluator
@@ -444,8 +447,23 @@ class SearchEngine:
         def eval_segment(key, pdf):
             seg = int(key[0])
             pdf = pdf[pdf["term"].notna()]
+            # executor-side caches must be sized to the layout too: the
+            # driver grows its docs cache at engine init, but each
+            # python worker imports wand fresh with the 64-entry
+            # default — at 128 segments every warm query would re-read
+            # half the doc tables (the a3fd564 lesson, worker edition)
+            ensure_docs_cache_capacity(n_segments)
             docs_pdf = load_segment_docs(docs_root, seg)
-            sd = SegmentData(pdf, docs_pdf)
+            # same cross-query decoded-postings cache key as the local
+            # serving tier: python workers are reused across queries,
+            # so a worker that re-sees a (segment, term) skips varbyte
+            # decode + salt merge entirely (per-worker LRU; the mtime
+            # component invalidates on incremental update)
+            pdir = f"{post_root}/segment={seg}"
+            mt = os.path.getmtime(pdir) if os.path.exists(pdir) else 0.0
+            sd = SegmentData(pdf, docs_pdf,
+                             cache_key=(post_root, seg, mt, avgdl_key))
+            sd._avgdl = avgdl
             ev = SegmentEvaluator(sd, idf_map, avgdl, ub_scale,
                                   weights, default_fields, date_fields)
             if flat is not None:
@@ -631,12 +649,28 @@ class SearchEngine:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
             self.spark.conf.set("spark.sql.shuffle.partitions",
                                 str(shuffle_partitions))
-            post = self._postings_df()
             with self._lock:
-                if not self._post_df_persisted:
-                    post.persist()
-                    self._post_df_persisted = True
-            post.count()  # materialize the cache before serving
+                if self._post_df_persisted:
+                    self._post_df.unpersist()
+                    self._post_df_persisted = False
+                stamp = self._postings_stamp()
+                base = self.spark.read.parquet(
+                    os.path.join(self.index_dir, "postings"))
+                # hash-partitioned BY SEGMENT before persisting: the
+                # per-query groupBy("segment") then satisfies its
+                # clustered distribution straight from the cache — no
+                # per-query exchange re-shipping encoded posting
+                # buffers (at 10M the Zipf-head term's buffers are
+                # tens of MB; re-shuffling them every query dominated
+                # spark-mode p50), and cached-partition locality makes
+                # segment→executor assignment sticky, so the
+                # per-worker decoded/docs caches actually hit
+                self._post_df = base.repartition(
+                    max(1, int(shuffle_partitions)), "segment")
+                self._post_df.persist()
+                self._post_df_persisted = True
+                self._post_df_stamp = stamp
+            self._post_df.count()  # materialize the cache before serving
         return len(pairs)
 
     def _warm_positions(self, pairs: set[tuple[str, str]]) -> None:

@@ -35,6 +35,9 @@ from bench import ENGINE_QUERIES  # noqa: E402
 IX = os.environ.get("SF10_IX_DIR", "/dev/shm/sf10_ix")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SF10_REPS", "3"))
+# same protocol serves any scale point: point SF10_IX_DIR at the index
+# and SERVING_OUT at the result file (e.g. sf33_serving.json for 10M)
+OUT = os.environ.get("SERVING_OUT", "sf10_serving.json")
 
 
 def pctl(xs, p):
@@ -103,7 +106,7 @@ def main() -> None:
         "spark_zero_hit_floor_p50_ms": pctl(floor, 0.5),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "sf10_serving.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", OUT), "w") as fh:
         json.dump(blob, fh, indent=2)
     print(json.dumps(blob))
 
