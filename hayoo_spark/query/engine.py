@@ -38,7 +38,7 @@ from . import plan as P
 from .parser import parse
 from .wand import (
     SegmentData, SegmentEvaluator, _flat_terms, _flat_with_not,
-    docs_loaded, ensure_docs_cache_capacity,
+    docs_loaded, enable_shm_postings_cache, ensure_docs_cache_capacity,
     load_segment_docs,
 )
 
@@ -141,6 +141,12 @@ class SearchEngine:
         # the process-wide docs cache must hold this engine's whole
         # segment set or every warm query re-reads the evicted tables
         ensure_docs_cache_capacity(len(self._segments))
+        # per-host shared decode cache for the grouped-map path (see
+        # wand.enable_shm_postings_cache); settable to "" to disable
+        shm_root = os.environ.get("HAYOO_SHM_CACHE", "/dev/shm")
+        self._shm_cache_dir = (os.path.join(shm_root, "hayoo_decode_cache")
+                               if shm_root and os.path.isdir(shm_root)
+                               else None)
         # serving-tier raw-rows cache: (field, term) -> {segment: [row]}
         # (LRU by encoded bytes; invalidated when any postings segment
         # dir changes — same mtime contract as the decoded cache)
@@ -428,6 +434,7 @@ class SearchEngine:
         post_root = os.path.join(self.index_dir, "postings")
         avgdl_key = tuple(sorted(self.avgdl.items()))
         n_segments = len(self._segments)
+        shm_cache = self._shm_cache_dir
         flat, flat_not = _flat_with_not(ast, self.field_weights)
         # a bare phrase is segment-prunable like a flat query (every
         # term must be present) and has its own bound-ordered evaluator
@@ -453,6 +460,10 @@ class SearchEngine:
             # default — at 128 segments every warm query would re-read
             # half the doc tables (the a3fd564 lesson, worker edition)
             ensure_docs_cache_capacity(n_segments)
+            # all workers on this host share one decode cache: task→
+            # worker assignment is not sticky, so per-process caches
+            # alone re-decode on most touches (see wand.py)
+            enable_shm_postings_cache(shm_cache)
             docs_pdf = load_segment_docs(docs_root, seg)
             # same cross-query decoded-postings cache key as the local
             # serving tier: python workers are reused across queries,

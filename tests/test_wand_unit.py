@@ -288,3 +288,48 @@ def test_docs_cache_capacity_scales_with_segments(tmp_path, monkeypatch):
     assert W.docs_loaded(str(tmp_path), 0)
     assert not W.docs_loaded(str(tmp_path), 1)
     assert W.docs_loaded(str(tmp_path), 2)
+
+
+def test_shm_decode_cache_round_trip(tmp_path):
+    """Distributed-mode workers share decoded arrays through a per-host
+    tmpfs cache: a process that never decoded a (segment, term) must be
+    able to serve it from the file published by another process.  The
+    second SegmentData here carries NO raw rows, so a correct answer
+    can only have come from the shm file."""
+    from hayoo_spark.query import wand
+
+    ev, terms = make_segment()
+    sd1 = ev.seg
+    key = ("postroot", 0, 123.0, (("text", 100.0),))
+    old_dir = wand._SHM_CACHE_DIR
+    wand.enable_shm_postings_cache(str(tmp_path / "shm"))
+    try:
+        sd1._cache_key = key
+        want_post = sd1.postings("text", terms[1])
+        want_pos = sd1.positions_flat("text", terms[1])
+        assert len(want_post[0]) > 0
+        with wand._POSTINGS_CACHE_LOCK:
+            wand._POSTINGS_CACHE.clear()
+        sd2 = SegmentData(None, sd1._docs._pdf
+                          if hasattr(sd1._docs, "_pdf") else
+                          pd.DataFrame({
+                              "doc_id": np.arange(sd1.n_docs),
+                              "url": sd1.urls, "lang": sd1.langs,
+                              "warc_ts": pd.to_datetime("2024-01-01"),
+                              "dl": sd1.dls["text"]
+                              if isinstance(sd1.dls, dict) else sd1.dls,
+                          }),
+                          cache_key=key)
+        got_post = sd2.postings("text", terms[1])
+        got_pos = sd2.positions_flat("text", terms[1])
+        for a, b in zip(want_post, got_post):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(want_pos, got_pos):
+            np.testing.assert_array_equal(a, b)
+        # a term never decoded anywhere stays a miss (empty, from raw)
+        with wand._POSTINGS_CACHE_LOCK:
+            wand._POSTINGS_CACHE.clear()
+        miss = sd2.postings("text", "nosuchterm")
+        assert len(miss[0]) == 0
+    finally:
+        wand._SHM_CACHE_DIR = old_dir
