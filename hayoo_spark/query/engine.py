@@ -147,6 +147,12 @@ class SearchEngine:
         self._shm_cache_dir = (os.path.join(shm_root, "hayoo_decode_cache")
                                if shm_root and os.path.isdir(shm_root)
                                else None)
+        # the DRIVER joins the host cache too: warm()'s prewarm then
+        # publishes its decodes, so grouped-map workers mmap the Zipf
+        # head instead of stampeding the postings parquet 32-wide on
+        # the first heavy phrase (and a restarted serving process
+        # re-warms from tmpfs in milliseconds)
+        enable_shm_postings_cache(self._shm_cache_dir)
         # serving-tier raw-rows cache: (field, term) -> {segment: [row]}
         # (LRU by encoded bytes; invalidated when any postings segment
         # dir changes — same mtime contract as the decoded cache)
@@ -420,6 +426,13 @@ class SearchEngine:
         flds = list({f for f, _ in needed})
         post = self._postings_df().filter(
             F.col("term").isin(terms) & F.col("field").isin(flds))
+        # position streams are ~5x the rest of the row and most queries
+        # never touch them; shipping them JVM→Arrow→python on EVERY
+        # query aged the session into GC stalls at 10M.  Workers that
+        # do need positions (phrases) serve them from the per-host
+        # decode cache, else re-read just their (segment, term) from
+        # parquet once per process (SegmentData._rows_with_positions).
+        post = post.drop("pos_vb", "block_pos_off")
         if self._sharded:
             # a sharded engine serves ONLY its segment slice in every
             # mode — without this filter spark mode would evaluate the
@@ -487,7 +500,7 @@ class SearchEngine:
             else:
                 ids, sc = ev.evaluate(ast)
                 ids, sc = ev._cut(ids, sc, m)
-            return pd.DataFrame({"url": sd.urls[ids], "score": sc})
+            return pd.DataFrame({"url": sd.url_take(ids), "score": sc})
 
         top = (
             post.groupBy("segment")
@@ -660,13 +673,27 @@ class SearchEngine:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
             self.spark.conf.set("spark.sql.shuffle.partitions",
                                 str(shuffle_partitions))
+            # encoded posting buffers are already varbyte-compressed —
+            # columnar-cache compression on top costs a per-query
+            # decompress pass and saves nothing; bigger cached batches
+            # cut per-batch scan overhead (A/B at 10M: the persisted
+            # scan+filter floor 246 -> 125 ms)
+            self.spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.compressed", "false")
+            self.spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.batchSize", "65536")
             with self._lock:
                 if self._post_df_persisted:
                     self._post_df.unpersist()
                     self._post_df_persisted = False
                 stamp = self._postings_stamp()
+                # position streams stay OUT of the serving cache: no
+                # query ships them (see _search_spark) — excluding them
+                # here makes the persisted relation ~5x smaller and its
+                # warm-time repartition ~5x cheaper
                 base = self.spark.read.parquet(
-                    os.path.join(self.index_dir, "postings"))
+                    os.path.join(self.index_dir, "postings")).drop(
+                        "pos_vb", "block_pos_off")
                 # hash-partitioned BY SEGMENT before persisting: the
                 # per-query groupBy("segment") then satisfies its
                 # clustered distribution straight from the cache — no
@@ -853,7 +880,7 @@ class SearchEngine:
             else:
                 ids, sc = ev.evaluate(ast)
                 ids, sc = ev._cut(ids, sc, m)
-            return sd.urls[ids], sc
+            return sd.url_take(ids), sc
 
         # parallelism split: the docs loads are pyarrow parquet reads
         # (GIL-releasing C++) — prefetch those on a pool; the evaluation

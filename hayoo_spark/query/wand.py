@@ -95,7 +95,18 @@ def _shm_path(gkey: tuple) -> str | None:
         return None
     import hashlib
     h = hashlib.sha1(repr(gkey).encode()).hexdigest()
-    return _os.path.join(_SHM_CACHE_DIR, h + ".npz")
+    return _os.path.join(_SHM_CACHE_DIR, h + ".bin")
+
+
+# File format: <u32 header-len><header: repr of [(dtype, shape), ...]>
+# <raw array bytes, concatenated>.  NOT npz — np.load on a zip
+# container pays python-side chunked reads + CRC32 per member
+# (measured 93 ms solo for a 12 MB position stream, ~1 s under
+# 32-worker concurrency).  Raw bytes are served via mmap instead:
+# every worker's arrays are read-only views into the SAME tmpfs
+# pages — zero copy, zero checksum, one physical copy per host.
+# Decoded tuples are already shared immutably across queries via
+# _POSTINGS_CACHE, so read-only views are safe by the same contract.
 
 
 def _shm_get(gkey: tuple) -> tuple | None:
@@ -103,8 +114,21 @@ def _shm_get(gkey: tuple) -> tuple | None:
     if path is None or not _os.path.exists(path):
         return None
     try:
-        with np.load(path, allow_pickle=False) as z:
-            return tuple(z[f"a{i}"] for i in range(len(z.files)))
+        import ast as _ast
+        import mmap as _mmap
+        import struct as _struct
+        with open(path, "rb") as fh:
+            mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+        (hlen,) = _struct.unpack_from("<I", mm, 0)
+        metas = _ast.literal_eval(mm[4:4 + hlen].decode())
+        out, off = [], 4 + hlen
+        for dtype, shape in metas:
+            dt = np.dtype(dtype)
+            n = int(np.prod(shape)) if shape else 1
+            a = np.frombuffer(mm, dt, count=n, offset=off).reshape(shape)
+            out.append(a)
+            off += n * dt.itemsize
+        return tuple(out)
     except Exception:
         return None  # torn/corrupt file: fall back to decode
 
@@ -117,12 +141,16 @@ def _shm_put(gkey: tuple, arrays: tuple) -> None:
         st = _os.statvfs(_SHM_CACHE_DIR)
         if st.f_bavail * st.f_frsize < _SHM_FREE_FLOOR:
             return  # tmpfs is box memory: never squeeze it
+        arrays = tuple(np.ascontiguousarray(a) for a in arrays)
+        hdr = repr([(a.dtype.str, a.shape) for a in arrays]).encode()
+        import struct as _struct
         tmp = f"{path}.{_os.getpid()}.tmp"
-        np.savez(tmp, **{f"a{i}": a for i, a in enumerate(arrays)})
-        # np.savez appends .npz when missing; it kept our name as-is
-        # only if tmp already ends with .npz — normalize
-        src = tmp if _os.path.exists(tmp) else tmp + ".npz"
-        _os.replace(src, path)
+        with open(tmp, "wb") as fh:
+            fh.write(_struct.pack("<I", len(hdr)))
+            fh.write(hdr)
+            for a in arrays:
+                fh.write(a.tobytes())
+        _os.replace(tmp, path)
     except OSError:
         pass
 
@@ -158,34 +186,62 @@ def _isect_sorted(a: np.ndarray, b: np.ndarray,
 
 
 class SegmentDocs:
-    """Prepared (doc_id-ordered numpy) view of one segment's doc table.
+    """Prepared (doc_id-ordered) view of one segment's doc table,
+    backed by Arrow columns.
 
     ``dls`` holds one float64 document-length array per index field
     (docs store one ``dl_<field>`` column per field — BM25F norms are
-    per field).  A plain ``dl`` column is accepted as field "text"."""
+    per field).  A plain ``dl`` column is accepted as field "text".
 
-    __slots__ = ("n_docs", "urls", "urls_monotone", "langs", "_langs_lc",
-                 "_urls_lc", "warc_ts", "dls", "boost", "max_boost",
-                 "extra")
+    String columns stay Arrow until a consumer actually needs python
+    objects: the 10M grouped-map profile showed 79% of worker time in
+    docs loads, and most of each load was `to_pandas` + object-dtype
+    conversion of 78k urls whose only per-query use is a 20-row take
+    for the result projection.  Numerics are zero-copy views."""
+
+    __slots__ = ("n_docs", "urls_monotone", "_url_arr", "_lang_arr",
+                 "_urls", "_langs", "_langs_lc", "_urls_lc",
+                 "warc_ts", "dls", "boost", "max_boost", "extra")
 
     _KNOWN = ("doc_id", "url", "lang", "warc_ts", "boost", "dl")
 
-    def __init__(self, pdf: pd.DataFrame):
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        self.n_docs = len(pdf)
+    def __init__(self, src):
+        import pyarrow as pa
+
+        if isinstance(src, pd.DataFrame):
+            tb = pa.Table.from_pandas(src, preserve_index=False)
+        else:
+            tb = src
+        # builder invariant: rows are written doc_id-ascending per
+        # segment — VERIFY (one int pass) instead of paying an
+        # unconditional sort copy of every column
+        did = tb.column("doc_id").to_numpy()
+        if len(did) > 1 and (np.diff(did) < 0).any():
+            tb = tb.take(pa.array(np.argsort(did, kind="stable")))
+        self.n_docs = tb.num_rows
+        cols = tb.column_names
         # declared date contexts (and any future stored fields) ride as
         # extra doc columns, exposed for range filtering by field name
-        self.extra = {c: pdf[c].to_numpy() for c in pdf.columns
+        self.extra = {c: tb.column(c).to_numpy(zero_copy_only=False)
+                      for c in cols
                       if c not in self._KNOWN and not c.startswith("dl_")}
-        self.urls = pdf["url"].to_numpy(object)
+        self._url_arr = tb.column("url").combine_chunks()
+        self._lang_arr = tb.column("lang").combine_chunks()
+        self._urls = None
+        self._langs = None
         # builder invariant: doc_id is assigned url-ascending within a
         # segment (prepare_docs w_seg), so url tie-breaks can use the
         # INTEGER doc_id order instead of object-dtype url sorts.
         # Verified per segment at load (indexes from other writers may
-        # not hold it) — one O(n) pass, cached with the SegmentDocs.
-        self.urls_monotone = (self.n_docs <= 1 or bool(
-            (self.urls[:-1] <= self.urls[1:]).all()))
-        self.langs = pdf["lang"].to_numpy(object)
+        # not hold it) — one Arrow C++ pass, no python strings.
+        if self.n_docs <= 1:
+            self.urls_monotone = True
+        else:
+            import pyarrow.compute as pc
+            a = self._url_arr
+            mono = pc.all(pc.greater_equal(a.slice(1),
+                                           a.slice(0, len(a) - 1)))
+            self.urls_monotone = bool(mono.as_py())
         # filter comparisons are case-insensitive on BOTH sides (the
         # oracle and the docs-scan path lowercase the stored value;
         # mixed-case data must match identically here — ADVICE r1).
@@ -194,18 +250,59 @@ class SegmentDocs:
         # per-segment docs-load cost that gates cold queries at 3M.
         self._langs_lc = None
         self._urls_lc = None
-        self.warc_ts = pdf["warc_ts"].to_numpy()
-        self.dls = {c[3:]: pdf[c].to_numpy(np.float64)
-                    for c in pdf.columns if c.startswith("dl_")}
-        if not self.dls and "dl" in pdf.columns:
-            self.dls = {"text": pdf["dl"].to_numpy(np.float64)}
+        self.warc_ts = tb.column("warc_ts").to_numpy(
+            zero_copy_only=False)
+        self.dls = {c[3:]: tb.column(c).to_numpy(
+                        zero_copy_only=False).astype(np.float64,
+                                                     copy=False)
+                    for c in cols if c.startswith("dl_")}
+        if not self.dls and "dl" in cols:
+            self.dls = {"text": tb.column("dl").to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)}
         # per-document static weight (adWght analogue); absent on
         # indexes built before the column existed -> 1.0
-        if "boost" in pdf.columns:
-            self.boost = pdf["boost"].to_numpy(np.float64)
+        if "boost" in cols:
+            self.boost = tb.column("boost").to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)
         else:
             self.boost = np.ones(self.n_docs, np.float64)
         self.max_boost = float(self.boost.max()) if self.n_docs else 1.0
+
+    @property
+    def urls(self) -> np.ndarray:
+        if self._urls is None:
+            self._urls = self._url_arr.to_numpy(zero_copy_only=False)
+        return self._urls
+
+    @property
+    def langs(self) -> np.ndarray:
+        if self._langs is None:
+            self._langs = self._lang_arr.to_numpy(zero_copy_only=False)
+        return self._langs
+
+    def url_take(self, ids) -> np.ndarray:
+        """urls[ids] without materializing the full object array —
+        the per-query result projection touches ≤ m rows."""
+        if self._urls is not None:
+            return self._urls[ids]
+        import pyarrow as pa
+        return self._url_arr.take(
+            pa.array(np.asarray(ids, np.int64))).to_numpy(
+                zero_copy_only=False)
+
+    def filter_eq_lc(self, kind: str, term: str) -> np.ndarray:
+        """Case-insensitive equality mask (lang:/url: filters) computed
+        ARROW-SIDE — no python string materialization.  The object-array
+        variant poisoned long-lived workers: each cached 78k-element
+        object array is a gc-tracked container, so every gen-2
+        collection walked O(cached segments × n_docs) pointers and
+        per-eval latency grew linearly with worker cache occupancy
+        (measured 18 ms → 830 ms over 5 reps at 10M/128 segments)."""
+        import pyarrow.compute as pc
+        arr = self._url_arr if kind == "url" else self._lang_arr
+        mask = pc.fill_null(
+            pc.equal(pc.utf8_lower(arr), term.lower()), False)
+        return mask.to_numpy(zero_copy_only=False)
 
     @property
     def langs_lc(self) -> np.ndarray:
@@ -253,9 +350,37 @@ def load_segment_docs(docs_root: str, segment: int) -> SegmentDocs:
     if hit is not None:
         return hit
     # read every stored column: dl_* norms, boost, and any declared
-    # date-context columns all live in the doc table
-    pdf = pq.read_table(path).to_pandas()
-    sd = SegmentDocs(pdf)
+    # date-context columns all live in the doc table.  When the shared
+    # host cache is on, the first loader publishes the table as an
+    # UNCOMPRESSED Arrow IPC file: every other worker's miss becomes a
+    # memory-map (strings included — no parquet decode, no copies),
+    # which is what keeps 32 workers × 128 segments of cache misses
+    # from dominating grouped-map serving (the 10M profile: 79% of
+    # worker time was this function).
+    tb = None
+    fkey = ("docs-ipc", path, key[1])
+    fpath = _shm_path(fkey)
+    if fpath is not None:
+        fpath = fpath[:-4] + ".arrow"
+        if _os.path.exists(fpath):
+            try:
+                import pyarrow.feather as _pf
+                tb = _pf.read_table(fpath, memory_map=True)
+            except Exception:
+                tb = None  # torn file: fall back to parquet
+    if tb is None:
+        tb = pq.read_table(path)
+        if fpath is not None and not _os.path.exists(fpath):
+            try:
+                st = _os.statvfs(_SHM_CACHE_DIR)
+                if st.f_bavail * st.f_frsize >= _SHM_FREE_FLOOR:
+                    import pyarrow.feather as _pf
+                    tmp = f"{fpath}.{_os.getpid()}.tmp"
+                    _pf.write_feather(tb, tmp, compression="uncompressed")
+                    _os.replace(tmp, fpath)
+            except OSError:
+                pass
+    sd = SegmentDocs(tb)
     with _DOCS_CACHE_LOCK:
         if len(_DOCS_CACHE) >= _DOCS_CACHE_MAX:
             _DOCS_CACHE.pop(next(iter(_DOCS_CACHE)))
@@ -275,10 +400,8 @@ class SegmentData:
         if isinstance(docs, pd.DataFrame):
             docs = SegmentDocs(docs)
         self.n_docs = docs.n_docs
-        self.urls = docs.urls
         self.urls_monotone = getattr(docs, "urls_monotone", False)
-        self.langs = docs.langs
-        self._docs = docs  # _lc views resolved lazily (filter queries)
+        self._docs = docs  # string views resolved lazily (see below)
         self.warc_ts = docs.warc_ts
         self.dls = docs.dls
         self.boost = docs.boost
@@ -296,6 +419,20 @@ class SegmentData:
                 f = row.field if has_field else "text"
                 self._raw.setdefault((f, row.term), []).append(row)
         self._decoded: dict[tuple, tuple] = {}
+
+    @property
+    def urls(self) -> np.ndarray:
+        return self._docs.urls
+
+    @property
+    def langs(self) -> np.ndarray:
+        return self._docs.langs
+
+    def url_take(self, ids) -> np.ndarray:
+        return self._docs.url_take(ids)
+
+    def filter_eq_lc(self, kind: str, term: str) -> np.ndarray:
+        return self._docs.filter_eq_lc(kind, term)
 
     @property
     def langs_lc(self) -> np.ndarray:
@@ -364,6 +501,31 @@ class SegmentData:
             _shm_put(gkey, out)
         return out
 
+    def _rows_with_positions(self, field: str, term: str) -> list:
+        """The (field, term)'s raw rows, guaranteed to carry position
+        columns.  Distributed mode ships postings WITHOUT pos_vb /
+        block_pos_off (the position stream is ~5x the rest of the row;
+        re-shipping it through the JVM on every query was the GC-aging
+        source at 10M) — a worker that actually needs positions and
+        misses every cache re-reads just this (segment, term) from the
+        postings parquet, term-pruned, once per process."""
+        rows = self._raw.get((field, term), [])
+        if (not rows or getattr(rows[0], "pos_vb", None) is not None
+                or self._cache_key is None):
+            return rows
+        post_root, seg = self._cache_key[0], self._cache_key[1]
+        import pyarrow.parquet as pq
+        try:
+            filters = [("term", "=", term)]
+            tb = pq.read_table(f"{post_root}/segment={seg}",
+                               filters=filters)
+        except OSError:
+            return rows
+        pdf = tb.to_pandas()
+        if "field" in pdf.columns:
+            pdf = pdf[pdf["field"] == field]
+        return list(pdf.itertuples(index=False))
+
     def _pos_index(self, field: str, term: str):
         """Per-sub-list position storage: (ids, flat_positions, offsets).
         The flat varbyte buffer is decoded ONCE (vectorized); per-doc
@@ -372,7 +534,7 @@ class SegmentData:
         if key in self._decoded:
             return self._decoded[key]
         subs = []
-        for r in self._raw.get((field, term), []):
+        for r in self._rows_with_positions(field, term):
             ids, tfs = codec.decode_postings(r.ids_vb, r.tfs_vb)
             flat = codec.varbyte_decode(r.pos_vb)
             offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
@@ -759,10 +921,12 @@ class SegmentEvaluator:
                     self.idf.get((node.field, node.term), 0.0))
                 return ids, node.boost * self.weights[node.field] * sc
             if node.field == "lang":
-                ids = np.flatnonzero(s.langs_lc == node.term).astype(np.int64)
+                ids = np.flatnonzero(
+                    s.filter_eq_lc("lang", node.term)).astype(np.int64)
                 return ids, np.zeros(len(ids))
             if node.field == "url":
-                ids = np.flatnonzero(s.urls_lc == node.term).astype(np.int64)
+                ids = np.flatnonzero(
+                    s.filter_eq_lc("url", node.term)).astype(np.int64)
                 return ids, np.zeros(len(ids))
             return np.zeros(0, np.int64), np.zeros(0)
         if isinstance(node, P.RangeFilter):
