@@ -333,3 +333,45 @@ def test_shm_decode_cache_round_trip(tmp_path):
         assert len(miss[0]) == 0
     finally:
         wand._SHM_CACHE_DIR = old_dir
+
+
+def test_stripped_rows_refetch_positions_from_parquet(tmp_path):
+    """Distributed mode ships posting rows WITHOUT pos_vb /
+    block_pos_off.  A worker that needs positions and has no host
+    cache must re-read its (segment, term) from the postings parquet
+    (SegmentData._rows_with_positions) and produce the same position
+    stream as a full-row SegmentData."""
+    from hayoo_spark.query import wand
+
+    ev, terms = make_segment()
+    full = ev.seg
+    # write the raw rows as a hive-style postings segment dir
+    pdir = tmp_path / "postings" / "segment=0"
+    pdir.mkdir(parents=True)
+    rows = []
+    for subs in full._raw.values():
+        rows.extend(subs)
+    pdf = pd.DataFrame(rows)
+    pdf.drop(columns=["segment"]).to_parquet(pdir / "part-0.parquet",
+                                             index=False)
+    post_root = str(tmp_path / "postings")
+    key = (post_root, 0, 1.0, (("text", 100.0),))
+    old_dir = wand._SHM_CACHE_DIR
+    wand._SHM_CACHE_DIR = None  # no host cache: force the refetch
+    try:
+        with wand._POSTINGS_CACHE_LOCK:
+            wand._POSTINGS_CACHE.clear()
+        stripped = pdf.drop(columns=["pos_vb", "segment"])
+        sd = SegmentData(stripped, pd.DataFrame({
+            "doc_id": np.arange(full.n_docs), "url": full.urls,
+            "lang": full.langs, "warc_ts": pd.to_datetime("2024-01-01"),
+            "dl": full.dls["text"],
+        }), cache_key=key)
+        sd._avgdl = {"text": 100.0}
+        for t in terms[:2]:
+            want = full.positions_flat("text", t)
+            got = sd.positions_flat("text", t)
+            for a, b in zip(want, got):
+                np.testing.assert_array_equal(a, b)
+    finally:
+        wand._SHM_CACHE_DIR = old_dir
