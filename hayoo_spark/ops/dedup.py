@@ -46,16 +46,26 @@ def _md5i(col):
 
 def shingles(docs: DataFrame, key: str = "doc_id", text: str = "text",
              n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per doc: (key, shingle string)."""
-    toks = tokens_col(text)
+    """Distinct token n-gram shingles per doc: (key, shingle string).
+
+    The token array is materialized as a column BEFORE the window
+    transform: a lambda body referencing the tokenizer EXPRESSION
+    re-runs regexp_extract_all once per array element (one full-text
+    regex pass per shingle — ~n_tokens x the intended cost, visible as
+    the repeated regex in the Generate node of the plan).  Referencing
+    a materialized column keeps tokenization at once per document;
+    CollapseProject leaves it alone because the alias is consumed more
+    than once by non-cheap expressions."""
+    d = docs.select(key, tokens_col(text).alias("tk"))
+    tk = F.col("tk")
     sh = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(key, F.explode(F.array_distinct(sh)).alias("shingle")) \
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    return d.select(key, F.explode(F.array_distinct(sh)).alias("shingle")) \
         .filter(F.length("shingle") > 0)
 
 
@@ -426,14 +436,22 @@ def substring_dup_spans(docs: DataFrame, key: str = "doc_id",
     shuffle join, not a broadcast.
     """
     # NULL text → 0 tokens, not NULL (F.size(NULL) is NULL and would
-    # leak into n_tokens / the dup_frac denominator)
-    toks = F.coalesce(tokens_col(text), F.array().cast("array<string>"))
+    # leak into n_tokens / the dup_frac denominator).  The token array
+    # is materialized as a column BEFORE the window transform — a
+    # lambda referencing the tokenizer expression re-runs the regex per
+    # window (~n_tokens full-text regex passes per doc; the shingles()
+    # note), which dominated this operator's profile.
+    d = docs.select(
+        key,
+        F.coalesce(tokens_col(text), F.array().cast("array<string>"))
+        .alias("tk"))
+    toks = F.col("tk")
     win_arr = F.when(
         F.size(toks) >= w,
         F.transform(F.sequence(F.lit(0), F.size(toks) - w),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w))),
     ).otherwise(F.array().cast("array<string>"))
-    wins = docs.select(key, F.posexplode(win_arr).alias("pos", "win")) \
+    wins = d.select(key, F.posexplode(win_arr).alias("pos", "win")) \
         .select(key, "pos", _md5i(F.col("win")).alias("h"))
     dup_h = (wins.groupBy("h")
              .agg(F.count_distinct(F.col(key)).alias("nd"))
@@ -448,7 +466,7 @@ def substring_dup_spans(docs: DataFrame, key: str = "doc_id",
            .groupBy(key)
            .agg(F.count("*").alias("n_dup_windows"),
                 F.sum("contrib").alias("dup_cov_tokens")))
-    base = docs.select(
+    base = d.select(
         key, F.size(toks).alias("n_tokens"),
         F.greatest(F.size(toks) - w + 1, F.lit(0)).alias("n_windows"))
     return (base.join(cov, key, "left")
