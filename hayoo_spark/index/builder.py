@@ -323,6 +323,14 @@ def _combine_occurrences(batches):
     because Spark inserts partial aggregation only for aggregates, not
     for grouped-map inputs.
 
+    Arrow-native (r7): runs under ``mapInArrow`` — input batches are
+    read as zero-copy numpy views and the packed ``pos_vb`` column is
+    emitted as an Arrow BinaryArray built directly over the shared
+    varbyte buffer (values are contiguous spans, so the offsets vector
+    IS the per-value byte cumsum).  The old mapInPandas form created
+    one Python ``bytes`` object per POSTING (~10M per 150k-doc build)
+    on the way out and paid pandas block assembly per batch.
+
     The per-(doc,term) buffers are byte-identical spans of the old
     whole-group position stream (absolute position at each doc start,
     deltas within), so the encode step just concatenates them and every
@@ -337,45 +345,52 @@ def _combine_occurrences(batches):
     one document's occurrences, instead of the whole input split's
     occurrence stream (~dl x larger than the split bytes; ADVICE r2).
     """
-    carry: pd.DataFrame | None = None
-    for pdf in batches:
-        if not len(pdf):
+    cols = ("segment", "doc_id", "dl", "fkey", "term_h", "pos")
+    carry: dict | None = None
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
+        cur = {c: rb.column(rb.schema.get_field_index(c))
+               .to_numpy(zero_copy_only=False) for c in cols}
         if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        seg = pdf["segment"].to_numpy()
-        doc = pdf["doc_id"].to_numpy()
+            cur = {c: np.concatenate([carry[c], cur[c]]) for c in cols}
+        seg, doc = cur["segment"], cur["doc_id"]
+        n = len(seg)
         # the trailing doc's run is a suffix (contiguity by construction)
         tail = (seg == seg[-1]) & (doc == doc[-1])
-        cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
-        carry = pdf.iloc[cut:]
+        cut = n - int(tail[::-1].argmin()) if not tail.all() else 0
+        carry = {c: v[cut:] for c, v in cur.items()}
         if cut:
-            yield _combine_span(pdf.iloc[:cut])
-    if carry is not None and len(carry):
+            yield _combine_span({c: v[:cut] for c, v in cur.items()})
+    if carry is not None and len(carry["segment"]):
         yield _combine_span(carry)
 
 
-def _combine_span(pdf: pd.DataFrame):
-    """Combine one doc-complete span of occurrence rows (see
-    _combine_occurrences) into per-(doc, term) posting rows."""
-    n = len(pdf)
-    # native dtypes (int32 for everything but term_h): to_numpy with a
-    # wider dtype would cast-copy every column per Arrow batch, which
-    # costs exactly the bandwidth the narrow schema saves
-    seg = pdf["segment"].to_numpy()
-    doc = pdf["doc_id"].to_numpy()
-    dl = pdf["dl"].to_numpy()
-    fk = pdf["fkey"].to_numpy()
-    th = pdf["term_h"].to_numpy()
-    pos = pdf["pos"].to_numpy()
+def _combine_span(c: dict):
+    """Combine one doc-complete span of occurrence rows (numpy column
+    dict, see _combine_occurrences) into per-(doc, term) posting rows
+    as one Arrow RecordBatch."""
+    import pyarrow as pa
+
+    seg, doc, dl = c["segment"], c["doc_id"], c["dl"]
+    fk, th, pos = c["fkey"], c["term_h"], c["pos"]
+    n = len(seg)
     # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key;
-    # term_h hashes (field, term) so fkey/dl are constant per group
-    order = np.lexsort((pos, th, doc, seg))
+    # term_h hashes (field, term) so fkey/dl are constant per group.
+    # Input invariants (posexplode over the docs cache): each doc's
+    # occurrence rows form ONE contiguous run per partition (the cut
+    # logic in _combine_occurrences already relies on this) and
+    # positions ascend within the run — so a STABLE 2-key sort on
+    # (run ordinal, term_h) reproduces the old 4-key
+    # (seg, doc, th, pos) lexsort order at roughly half the sort cost.
+    rid = np.concatenate((
+        [0], np.cumsum((doc[1:] != doc[:-1]) | (seg[1:] != seg[:-1]))))
+    order = np.lexsort((th, rid))
     seg_s, doc_s, dl_s = seg[order], doc[order], dl[order]
     th_s, pos_s, fk_s = th[order], pos[order], fk[order]
+    rid_s = rid[order]
     change = np.flatnonzero(
-        (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        | (seg_s[1:] != seg_s[:-1])) + 1
+        (th_s[1:] != th_s[:-1]) | (rid_s[1:] != rid_s[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     pdelta = np.empty_like(pos_s)
@@ -383,81 +398,188 @@ def _combine_span(pdf: pd.DataFrame):
     pdelta[starts] = pos_s[starts]
     buf, nbytes = codec.varbyte_encode_lengths(pdelta.astype(np.uint64))
     bends = np.cumsum(nbytes)[ends - 1]
-    bstarts = np.concatenate(([0], bends[:-1]))
-    mv = memoryview(buf)
-    return pd.DataFrame({
-        "segment": seg_s[starts].astype(np.int32, copy=False),
-        "doc_id": doc_s[starts].astype(np.int32, copy=False),
-        "dl": dl_s[starts].astype(np.int32, copy=False),
-        "fkey": fk_s[starts].astype(np.int32, copy=False),
-        "term_h": th_s[starts],
-        "tf": (ends - starts).astype(np.int32, copy=False),
-        "pos_vb": [bytes(mv[a:b]) for a, b in zip(bstarts, bends)],
-    })
+    # group buffers tile `buf` contiguously -> offsets = [0] ++ bends;
+    # BinaryArray.from_buffers shares the encode buffer, zero per-row
+    # Python (int32 offsets are safe: bends is bounded by batch bytes)
+    offsets = np.concatenate(([0], bends)).astype(np.int32)
+    pos_arr = pa.Array.from_buffers(
+        pa.binary(), len(starts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
+    return pa.RecordBatch.from_arrays([
+        pa.array(seg_s[starts].astype(np.int32, copy=False)),
+        pa.array(doc_s[starts].astype(np.int32, copy=False)),
+        pa.array(dl_s[starts].astype(np.int32, copy=False)),
+        pa.array(fk_s[starts].astype(np.int32, copy=False)),
+        pa.array(th_s[starts]),
+        pa.array((ends - starts).astype(np.int32, copy=False)),
+        pos_arr,
+    ], names=["segment", "doc_id", "dl", "fkey", "term_h", "tf",
+              "pos_vb"])
 
 
-def _encode_factory(avgdls: list[float], block_size: int):
-    """Bucket-level encoder: one Arrow group = MANY (term, salt) posting
-    lists.  The combined stream arrives as one row per (doc, term) —
-    (term_h, salt, doc_id, dl, tf, pos_vb); sorting is a pure integer
-    lexsort (64-bit term hashes, never strings) and position buffers are
-    concatenated spans, so there is no per-posting Python.
+def _binary_col_views(arr):
+    """(offsets int32 view, data uint8 view) of an Arrow BinaryArray,
+    honoring the array's slice offset.  Zero-copy."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[arr.offset: arr.offset
+                                           + len(arr) + 1]
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.zeros(0, np.uint8))
+    return off, data
 
-    ``avgdls`` is indexed by the row's fkey — block upper bounds use the
-    owning FIELD's avgdl (BM25F: every field is its own mini-index)."""
 
-    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["segment"].iloc[0])
-        codes = pdf["term_h"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        docs = pdf["doc_id"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        fks = pdf["fkey"].to_numpy()
-        tfs_all = pdf["tf"].to_numpy()
-        pvb = pdf["pos_vb"].to_numpy(object)
-        order = np.lexsort((docs, salts, codes))
-        codes = codes[order]
-        salts = salts[order]
-        docs = docs[order]
-        dls = dls[order]
-        fks = fks[order]
-        tfs_all = tfs_all[order]
-        pvb = pvb[order]
-        n = len(pdf)
-        # (term, salt) group boundaries; docs are unique within a group
-        key_change = np.flatnonzero(
-            (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])) + 1
-        g_starts = np.concatenate(([0], key_change))
-        g_ends = np.concatenate((key_change, [n]))
-        pvb_len = np.fromiter((len(x) for x in pvb), np.int64, n)
-        out = {k: [] for k in ("segment", "term_h", "salt", "df", "cf", "ids_vb",
-                               "tfs_vb", "pos_vb", "block_last", "block_ub",
-                               "block_pos_off", "max_ub")}
-        for s, e in zip(g_starts, g_ends):
-            ids = docs[s:e]
-            tfs = tfs_all[s:e]
-            last, ub = codec.block_maxes(ids, tfs, dls[s:e],
-                                         avgdls[fks[s]], block_size)
-            # block b's positions start at the cumulative byte length of
-            # the preceding docs' buffers (blocks split on doc bounds)
-            cum = np.concatenate(([0], np.cumsum(pvb_len[s:e])))
-            out["segment"].append(seg)
-            out["term_h"].append(int(codes[s]))
-            out["salt"].append(int(salts[s]))
-            out["df"].append(len(ids))
-            out["cf"].append(int(tfs.sum()))
-            out["ids_vb"].append(
-                codec.varbyte_encode(codec.delta_encode(ids.astype(np.uint64))))
-            out["tfs_vb"].append(codec.varbyte_encode(tfs.astype(np.uint64)))
-            out["pos_vb"].append(b"".join(pvb[s:e]))
-            out["block_last"].append(last.tolist())
-            out["block_ub"].append(ub.tolist())
-            out["block_pos_off"].append(
-                cum[: e - s : block_size].tolist())
-            out["max_ub"].append(float(ub.max()) if len(ub) else 0.0)
-        return pd.DataFrame(out)
+def _encode_span(rb, avgdl_arr: np.ndarray, block_size: int):
+    """Encode one group-complete span of combined rows (already
+    (segment, term_h, salt, doc_id)-sorted by the JVM) into posting
+    rows, one per (segment, term_h, salt) group — fully vectorized,
+    zero per-group Python beyond boundary bookkeeping.
 
-    return encode_bucket
+    The old per-(term,salt) loop paid ~20 numpy calls on tiny arrays
+    per group — at ~1M groups per 150k-doc build that loop WAS the
+    encode phase (measured 99.5s of a 170.7s 1-core build).  Here
+    every array (delta ids, varbyte buffers, block boundaries, block
+    maxima) is computed in one pass over the span with group/block
+    boundaries expressed as reduceat/cumsum indices, and the output
+    binary/list columns are Arrow arrays built over shared buffers.
+    Byte-identical output: the same varbyte codec over the same
+    per-group value streams.
+
+    ``avgdl_arr`` is indexed by the row's fkey — block upper bounds
+    use the owning FIELD's avgdl (BM25F: every field is its own
+    mini-index)."""
+    import pyarrow as pa
+
+    names = rb.schema.names
+    col = {c: rb.column(names.index(c)) for c in
+           ("segment", "term_h", "salt", "doc_id", "dl", "fkey", "tf",
+            "pos_vb")}
+    segs = col["segment"].to_numpy(zero_copy_only=False)
+    codes = col["term_h"].to_numpy(zero_copy_only=False)
+    salts = col["salt"].to_numpy(zero_copy_only=False)
+    docs = col["doc_id"].to_numpy(zero_copy_only=False)
+    dls = col["dl"].to_numpy(zero_copy_only=False)
+    fks = col["fkey"].to_numpy(zero_copy_only=False)
+    tfs_all = col["tf"].to_numpy(zero_copy_only=False)
+    poff, pdata = _binary_col_views(col["pos_vb"])
+    n = len(codes)
+    # (segment, term, salt) group boundaries; docs unique within a group
+    key_change = np.flatnonzero(
+        (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        | (segs[1:] != segs[:-1])) + 1
+    g_starts = np.concatenate(([0], key_change))
+    g_ends = np.concatenate((key_change, [n]))
+    n_groups = len(g_starts)
+    lengths = g_ends - g_starts
+
+    # ids_vb: per-group delta encode (absolute id at group starts) then
+    # ONE varbyte pass over the whole span; per-group buffers are
+    # contiguous spans of the shared encode buffer, exposed as a
+    # BinaryArray over it (offsets = cumsum at group bounds)
+    d64 = docs.astype(np.int64, copy=False)
+    deltas = np.empty(n, np.int64)
+    deltas[1:] = d64[1:] - d64[:-1]
+    deltas[g_starts] = d64[g_starts]
+    ibuf, inb = codec.varbyte_encode_lengths(deltas.astype(np.uint64))
+    icum = np.concatenate(([0], np.cumsum(inb)))
+    gb = np.append(g_starts, n)  # group bounds incl. end
+    ids_arr = pa.Array.from_buffers(
+        pa.binary(), n_groups,
+        [None, pa.py_buffer(icum[gb].astype(np.int32)),
+         pa.py_buffer(ibuf)])
+
+    tbuf, tnb = codec.varbyte_encode_lengths(tfs_all.astype(np.uint64))
+    tcum = np.concatenate(([0], np.cumsum(tnb)))
+    tfs_arr = pa.Array.from_buffers(
+        pa.binary(), n_groups,
+        [None, pa.py_buffer(tcum[gb].astype(np.int32)),
+         pa.py_buffer(tbuf)])
+
+    # pos_vb: rows are consecutive in the input data buffer, so a
+    # group's concatenated stream is one span — share the buffer.
+    # Offsets are rebased to 0 (and the data view sliced to match):
+    # the Arrow IPC writer does not rebase a non-zero first offset,
+    # and the JVM reader then indexes past the truncated buffer.
+    p0 = int(poff[0])
+    pos_arr = pa.Array.from_buffers(
+        pa.binary(), n_groups,
+        [None, pa.py_buffer(poff[gb] - p0),
+         pa.py_buffer(pdata[p0:int(poff[n])])])
+
+    # block boundaries: blocks tile [0, n) contiguously (a group's last
+    # block ends where the next group's first starts), so
+    # maximum.reduceat over block starts is exact per block
+    norms = (tfs_all * (codec.K1 + 1.0)
+             / (tfs_all + codec.K1
+                * (1.0 - codec.B + codec.B * dls / avgdl_arr[fks])))
+    nb_g = (lengths + block_size - 1) // block_size
+    fb = np.concatenate(([0], np.cumsum(nb_g)))
+    block_group = np.repeat(np.arange(n_groups), nb_g)
+    block_ord = np.arange(int(fb[-1])) - fb[block_group]
+    block_start = g_starts[block_group] + block_ord * block_size
+    block_end = np.minimum(block_start + block_size, g_ends[block_group])
+    fb32 = fb.astype(np.int32)
+    last_arr = pa.ListArray.from_arrays(
+        fb32, pa.array(d64[block_end - 1], pa.int64()))
+    ub_all = np.maximum.reduceat(norms, block_start)
+    ub_arr = pa.ListArray.from_arrays(fb32, pa.array(ub_all, pa.float64()))
+    # block b's positions start at the cumulative byte length of the
+    # preceding docs' buffers (blocks split on doc bounds)
+    bpo_all = (poff[block_start].astype(np.int64)
+               - poff[g_starts[block_group]].astype(np.int64))
+    bpo_arr = pa.ListArray.from_arrays(fb32, pa.array(bpo_all, pa.int64()))
+
+    return pa.RecordBatch.from_arrays([
+        pa.array(segs[g_starts]),
+        pa.array(codes[g_starts]),
+        pa.array(salts[g_starts]),
+        pa.array(lengths.astype(np.int64, copy=False)),
+        pa.array(np.add.reduceat(tfs_all.astype(np.int64), g_starts)),
+        ids_arr, tfs_arr, pos_arr, last_arr, ub_arr, bpo_arr,
+        pa.array(np.maximum.reduceat(ub_all, fb[:-1])),
+    ], names=["segment", "term_h", "salt", "df", "cf", "ids_vb",
+              "tfs_vb", "pos_vb", "block_last", "block_ub",
+              "block_pos_off", "max_ub"])
+
+
+def _encode_stream_factory(avgdls: list[float], block_size: int):
+    """mapInArrow encoder over (segment, bucket)-partitioned,
+    (segment, term_h, salt, doc_id)-sorted combined rows.  Batches are
+    cut at the last complete (segment, term_h, salt) boundary and the
+    open trailing group is carried into the next batch (same pattern
+    as _combine_occurrences), so worker memory is ~one Arrow batch
+    plus one posting group."""
+    avgdl_arr = np.asarray(avgdls, np.float64)
+
+    def encode_stream(batches):
+        import pyarrow as pa
+
+        carry = None
+        names = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if names is None:
+                names = rb.schema.names
+                i_seg = names.index("segment")
+                i_th = names.index("term_h")
+                i_sl = names.index("salt")
+            if carry is not None:
+                rb = pa.Table.from_batches([carry, rb]) \
+                    .combine_chunks().to_batches()[0]
+            segs = rb.column(i_seg).to_numpy(zero_copy_only=False)
+            th = rb.column(i_th).to_numpy(zero_copy_only=False)
+            sl = rb.column(i_sl).to_numpy(zero_copy_only=False)
+            n = len(th)
+            tail = (th == th[-1]) & (sl == sl[-1]) & (segs == segs[-1])
+            cut = n - int(tail[::-1].argmin()) if not tail.all() else 0
+            carry = rb.slice(cut)
+            if cut:
+                yield _encode_span(rb.slice(0, cut), avgdl_arr,
+                                   block_size)
+        if carry is not None and carry.num_rows:
+            yield _encode_span(carry, avgdl_arr, block_size)
+
+    return encode_stream
 
 
 def build_index(
@@ -808,7 +930,7 @@ def _combine_relations(seg_docs, fields):
     # integer path (combine, salting, buckets) is field-aware for free
     occ = occ.withColumn("term_h", F.xxhash64("field", "term")) \
         .drop("term", "field")
-    combined = occ.mapInPandas(_combine_occurrences, COMBINED_SCHEMA) \
+    combined = occ.mapInArrow(_combine_occurrences, COMBINED_SCHEMA) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     term_dict = dict_parts[0]
     for p in dict_parts[1:]:
@@ -857,8 +979,18 @@ def _write_postings(spark, combined, per_term, term_dict, index_dir, avgdl,
     )
 
     avgdls = [avgdl.get(f.name, 1.0) for f in fields]
-    encoded = comb.groupBy("segment", "bucket").applyInPandas(
-        _encode_factory(avgdls, block_size), ENCODE_SCHEMA)
+    # stream-encode over JVM-sorted partitions instead of
+    # groupBy().applyInPandas: the exchange is the same (hash by
+    # (segment, bucket)), but rows arrive already (segment, term_h,
+    # salt, doc_id)-ordered from the Tungsten sort, so the python side
+    # drops its 10M-element lexsort AND the pandas materialization of
+    # every pos_vb cell as a bytes object; all output buffers are
+    # zero-copy Arrow (see _encode_stream_factory)
+    encoded = (comb
+               .repartition("segment", "bucket")
+               .sortWithinPartitions("segment", "term_h", "salt", "doc_id")
+               .mapInArrow(_encode_stream_factory(avgdls, block_size),
+                           ENCODE_SCHEMA))
     (encoded
      .join(term_dict, "term_h")
      .select(*[f.name for f in POSTINGS_SCHEMA.fields])

@@ -351,6 +351,56 @@ def embedding_neardup_pairs(emb: DataFrame, key: str = "vec_id",
     )
 
 
+#: edge-count ceiling for the driver union-find fast path below; the
+#: collected edge list at this bound is ~32 MB — the same order as a
+#: broadcast-join build side, which is exactly the size class where
+#: shipping data to one node beats a multi-round distributed fixpoint
+DEDUP_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _dedup_clusters_driver(spark, e: DataFrame) -> DataFrame:
+    """Union-find fast path for a bounded edge set: ~3 driver jobs
+    total instead of jobs-per-propagation-round.  Produces the
+    identical fixpoint (cluster_id = component min id)."""
+    pdf = e.toPandas()
+    a = pdf["a"].to_numpy(np.int64)
+    b = pdf["b"].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    parent = np.arange(len(verts))
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:       # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            parent[rx if rx > ry else ry] = rx if rx < ry else ry
+    roots = np.array([find(i) for i in range(len(verts))])
+    # component label = min vertex id in the component; roots are not
+    # ordered by id, so take the min over members explicitly
+    label = np.full(len(verts), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(label, roots, verts)
+    cluster = label[roots]
+    out = pd.DataFrame({
+        "doc_id": verts,
+        "cluster_id": cluster,
+        "is_keeper": (verts == cluster).astype(np.int32),
+    })
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    return spark.createDataFrame(out, StructType([
+        StructField("doc_id", LongType()),
+        StructField("cluster_id", LongType()),
+        StructField("is_keeper", IntegerType()),
+    ]))
+
+
 def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
                    key_b: str = "id_b", max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs ->
@@ -362,15 +412,38 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
     emitted.  cluster_id = the component's minimum id (the keeper under
     the first-wins convention the builder's url dedup uses).
 
-    Spark shape: iterative min-label propagation — label(v) starts at v
-    and each round takes the min over neighbors' labels; converges in
-    component-diameter rounds (near-dup components are shallow: at web
-    scale essentially star-shaped around a template).  Lineage is cut
-    per round with localCheckpoint like ops/graph.transitive_closure;
-    per-round cost is one join + one groupBy on the EDGE relation,
-    linear in |E|.  Exact DuckDB twin: recursive min-reachable-id.
+    Size-gated execution (r7, guide §3.1's broadcast principle): the
+    pair relation is counted once; at or below
+    ``DEDUP_CC_DRIVER_MAX_EDGES`` edges the components are solved by a
+    driver-side union-find over the collected (a, b) ids — a bounded
+    collect of the same size class as a broadcast-join build side —
+    because the distributed fixpoint pays multiple shuffle rounds of
+    pure latency on data one machine folds in milliseconds.  Above the
+    bound, the distributed path below runs unchanged.  Both produce
+    the identical fixpoint (tested).
+
+    Distributed shape: iterative min-label propagation — label(v)
+    starts at v and each round takes the min over neighbors' labels;
+    converges in component-diameter rounds (near-dup components are
+    shallow: at web scale essentially star-shaped around a template).
+    Lineage is cut per round with localCheckpoint like
+    ops/graph.transitive_closure; per-round cost is one join + one
+    groupBy on the EDGE relation, linear in |E|.  Exact DuckDB twin:
+    recursive min-reachable-id.
     """
     e = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    ep = e.persist()
+    try:
+        n_edges = ep.count()
+    except Exception:
+        ep.unpersist()
+        raise
+    if n_edges <= DEDUP_CC_DRIVER_MAX_EDGES:
+        try:
+            return _dedup_clusters_driver(ep.sparkSession, ep)
+        finally:
+            ep.unpersist()
+    e = ep
     # materialize the edge relation ONCE: every propagation round joins
     # it, and without the checkpoint each round would re-run the whole
     # upstream pair-generation pipeline (e.g. the LSH candidate+verify
@@ -378,17 +451,23 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "id_a",
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().localCheckpoint(eager=True)
+    ep.unpersist()
     labels = (edges.select(F.col("a").alias("v")).distinct()
               .withColumn("label", F.col("v")))
     converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["a"] == labels["v"])
                  .select(F.col("b").alias("v"), F.col("label")))
+        # lazy checkpoint: the convergence count below is the round's
+        # ONE action — it materializes the checkpoint and tests the
+        # fixpoint in the same job (the old eager checkpoint + two
+        # counts cost three driver jobs per round, pure fixed latency)
         new = (labels.unionByName(neigh)
                .groupBy("v").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        # fixpoint: every (v, label) unchanged
-        if new.join(labels, ["v", "label"]).count() == new.count():
+               .localCheckpoint(eager=False))
+        # fixpoint: both sides have one row per v, so every (v, label)
+        # is unchanged iff nothing in `new` misses its twin in `labels`
+        if new.join(labels, ["v", "label"], "left_anti").count() == 0:
             labels = new
             converged = True
             break

@@ -58,9 +58,18 @@ class BigramLm:
     vocab_size: int       # V BEFORE pruning (the smoothing denominator)
 
 
-def _pairs(docs: DataFrame, key: str, text: str) -> DataFrame:
-    """(key, w1, w2) — one row per bigram position."""
-    ts = docs.select(key, tokens_col(text).alias("ts"))
+def _tok_rel(docs: DataFrame, key: str, text: str) -> DataFrame:
+    """(key, ts array<string>) — the shared tokenization."""
+    return docs.select(key, tokens_col(text).alias("ts"))
+
+
+def _pairs(docs: DataFrame | None, key: str, text: str,
+           ts: DataFrame | None = None) -> DataFrame:
+    """(key, w1, w2) — one row per bigram position.  ``ts``: an
+    already-tokenized (optionally persisted) relation, so self-trained
+    scoring does not re-run the corpus regex per consumer."""
+    if ts is None:
+        ts = _tok_rel(docs, key, text)
     pair = ts.select(key, F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
     return pair.select(key, F.col("p.w1").alias("w1"),
                        F.col("p.w2").alias("w2"))
@@ -68,7 +77,8 @@ def _pairs(docs: DataFrame, key: str, text: str) -> DataFrame:
 
 def bigram_lm(train: DataFrame, key: str = "doc_id", text: str = "text",
               vocab_top: int | None = None,
-              bigram_top: int | None = None) -> BigramLm:
+              bigram_top: int | None = None,
+              ts: DataFrame | None = None) -> BigramLm:
     """Train the count model.  Pruning keeps the top-N rows by
     (count desc, key asc) via orderBy().limit() — a distributed
     TakeOrderedAndProject (per-partition heads merged on the driver),
@@ -76,8 +86,11 @@ def bigram_lm(train: DataFrame, key: str = "doc_id", text: str = "text",
     makes the model reproducible across partitionings and cluster
     sizes.  Both count relations are persisted: they are read again by
     the scoring join (and ``uni`` by the vocab_size action), and
-    without the persist each reuse would re-tokenize the corpus."""
-    uni = (train.select(F.explode(tokens_col(text)).alias("term"))
+    without the persist each reuse would re-tokenize the corpus.
+    ``ts``: optional shared token relation (see _pairs)."""
+    if ts is None:
+        ts = _tok_rel(train, key, text)
+    uni = (ts.select(F.explode("ts").alias("term"))
            .groupBy("term").agg(F.count("*").alias("c1"))).persist()
     # V is the smoothing denominator and must not move when the count
     # table is pruned (otherwise pruning changes every probability).
@@ -85,7 +98,7 @@ def bigram_lm(train: DataFrame, key: str = "doc_id", text: str = "text",
     vocab_size = uni.count()
     if vocab_top is not None:
         uni = uni.orderBy(F.desc("c1"), F.asc("term")).limit(vocab_top)
-    bi = (_pairs(train, key, text)
+    bi = (_pairs(None, key, text, ts=ts)
           .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     if bigram_top is not None:
         bi = bi.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")) \
@@ -111,12 +124,17 @@ def lm_perplexity(docs: DataFrame, key: str = "doc_id",
     with a pruned model (vocab_top/bigram_top) so the scored corpus —
     the 100 TB side — is never shuffled for the lookup joins.
     """
+    ts = None
     if model is None:
-        model = bigram_lm(docs, key, text)
+        # self-trained: ONE persisted tokenization feeds the unigram
+        # counts, the bigram counts AND the scoring pass (three corpus
+        # regex passes otherwise)
+        ts = _tok_rel(docs, key, text).persist()
+        model = bigram_lm(docs, key, text, ts=ts)
     uni, bi = model.unigrams, model.bigrams
     if broadcast_lm:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
-    bgr = _pairs(docs, key, text)
+    bgr = _pairs(docs, key, text, ts=ts)
     joined = (bgr.join(bi, on=["w1", "w2"], how="left")
               .join(uni.withColumnRenamed("term", "w1"), on="w1",
                     how="left"))

@@ -67,11 +67,16 @@ def score_terms(
     -> (key, score double, score_x1e4 bigint, n_terms)
     """
     n_docs, avgdl = stats if stats is not None else corpus_stats(tf, key)
-    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
     if prefix is not None:
         sel = tf.filter(F.col("term").startswith(prefix))
     else:
         sel = tf.filter(F.col("term").isin(terms))
+    # df of a term = its (doc, term) row count, so the df relation only
+    # needs the SELECTED rows — aggregating the whole tf relation per
+    # query (the old shape) scanned the entire corpus vocabulary to
+    # broadcast a handful of df values.  Values are identical: terms
+    # outside the selection never join.
+    df_rel = sel.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         sel.join(F.broadcast(df_rel), "term")
         .withColumn("contrib", bm25_expr(n_docs, avgdl))

@@ -201,6 +201,7 @@ class SegmentDocs:
 
     __slots__ = ("n_docs", "urls_monotone", "_url_arr", "_lang_arr",
                  "_urls", "_langs", "_langs_lc", "_urls_lc",
+                 "_url_arr_lc", "_lang_arr_lc",
                  "warc_ts", "dls", "boost", "max_boost", "extra")
 
     _KNOWN = ("doc_id", "url", "lang", "warc_ts", "boost", "dl")
@@ -250,6 +251,8 @@ class SegmentDocs:
         # per-segment docs-load cost that gates cold queries at 3M.
         self._langs_lc = None
         self._urls_lc = None
+        self._url_arr_lc = None
+        self._lang_arr_lc = None
         self.warc_ts = tb.column("warc_ts").to_numpy(
             zero_copy_only=False)
         self.dls = {c[3:]: tb.column(c).to_numpy(
@@ -297,11 +300,20 @@ class SegmentDocs:
         object array is a gc-tracked container, so every gen-2
         collection walked O(cached segments × n_docs) pointers and
         per-eval latency grew linearly with worker cache occupancy
-        (measured 18 ms → 830 ms over 5 reps at 10M/128 segments)."""
+        (measured 18 ms → 830 ms over 5 reps at 10M/128 segments).
+        The LOWERED Arrow array is memoized per column (ADVICE r6): it
+        stays gc-invisible (Arrow buffer, not object array) while hot
+        lang:/url: filters skip the repeated full-column lower pass."""
         import pyarrow.compute as pc
-        arr = self._url_arr if kind == "url" else self._lang_arr
-        mask = pc.fill_null(
-            pc.equal(pc.utf8_lower(arr), term.lower()), False)
+        if kind == "url":
+            if self._url_arr_lc is None:
+                self._url_arr_lc = pc.utf8_lower(self._url_arr)
+            low = self._url_arr_lc
+        else:
+            if self._lang_arr_lc is None:
+                self._lang_arr_lc = pc.utf8_lower(self._lang_arr)
+            low = self._lang_arr_lc
+        mask = pc.fill_null(pc.equal(low, term.lower()), False)
         return mask.to_numpy(zero_copy_only=False)
 
     @property

@@ -47,7 +47,14 @@ def get_spark(
         # cores busy while still merging genuinely tiny partitions
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger Arrow batches amortize per-batch python/pandas fixed
+        # cost in the build's combine/encode streams (guide §4.2); the
+        # byte cap bounds memory for wide rows (text/payload columns)
+        # so a 64k-row batch of fat rows cannot balloon a worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("HAYOO_ARROW_BATCH_ROWS", "65536"))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                os.environ.get("HAYOO_ARROW_BATCH_BYTES", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("HAYOO_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

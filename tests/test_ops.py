@@ -828,3 +828,27 @@ def test_semantic_dedup_within_cell_only(spark, emb_df):
             for r in dedup.embedding_neardup_pairs(
                 emb_df, threshold=0.90).collect()}
     assert {(r["id_a"], r["id_b"]) for r in pairs} <= glob
+
+
+def test_dedup_clusters_driver_vs_distributed_identical(spark):
+    """The size-gated driver union-find (r7) and the distributed
+    min-label fixpoint must produce the identical clustering: chains,
+    ties, reversed pair order, singleton components."""
+    from hayoo_spark.ops import dedup
+
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5),     # 4-deep chain
+            (10, 11), (12, 11),                 # reversed order
+            (30, 31)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    via_driver = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+                  for r in dedup.dedup_clusters(pairs).collect()}
+    old = dedup.DEDUP_CC_DRIVER_MAX_EDGES
+    dedup.DEDUP_CC_DRIVER_MAX_EDGES = 0   # force the distributed path
+    try:
+        via_dist = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+                    for r in dedup.dedup_clusters(pairs).collect()}
+    finally:
+        dedup.DEDUP_CC_DRIVER_MAX_EDGES = old
+    assert via_driver == via_dist
+    assert via_driver[5] == (1, 0) and via_driver[1] == (1, 1)
+    assert via_driver[12] == (10, 0) and via_driver[30] == (30, 1)

@@ -151,3 +151,23 @@ def test_serving_posture_grouped_map_no_runtime_exchange(plan_ix):
     finally:
         # leave the module-scoped engine out of posture for later tests
         eng.spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_shingle_ops_tokenize_once_per_doc(spark):
+    """The shingle/window builders must reference a MATERIALIZED token
+    column inside their transform lambdas — a lambda referencing the
+    tokenizer expression re-runs regexp_extract_all once per array
+    element (~n_tokens full-text regex passes per doc; the r7 fix that
+    took d_substring_spans from 9.7s to 3.0s).  Guard: the Generate
+    node's generator must not embed the tokenizer regex."""
+    from hayoo_spark.ops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    for df in (dedup.shingles(docs, n=3),
+               dedup.substring_dup_spans(docs, w=4)):
+        plan = _plan(df)
+        for chunk in plan.split("Generate ")[1:]:
+            gen = chunk.split("\n")[0]
+            assert "regexp_extract_all" not in gen, gen[:200]
