@@ -757,13 +757,14 @@ def build_index(
 
         def _commit(batch=batch, elapsed=elapsed, seg_docs=seg_docs,
                     combined=combined, per_term=per_term,
-                    term_dict=term_dict):
+                    term_dict=term_dict, unpersist=True):
             t1 = time.monotonic()
             _commit_manifest(spark, index_dir, batch, elapsed, avgdl,
                              seg_docs=seg_docs, per_term=per_term)
-            per_term.unpersist()
-            combined.unpersist()
-            term_dict.unpersist()
+            if unpersist:
+                per_term.unpersist()
+                combined.unpersist()
+                term_dict.unpersist()
             phase_t["manifest_sec"] = round(
                 phase_t.get("manifest_sec", 0.0) + time.monotonic() - t1, 2)
 
@@ -783,12 +784,28 @@ def build_index(
     # so a manifest that lands before terms/ finishes cannot strand a
     # half-finalized index.
     t1 = time.monotonic()
+    # cached-dictionary fast path: a fresh single-batch build over every
+    # segment just materialized per_term/term_dict for the whole index,
+    # so finalize can aggregate those instead of re-scanning postings/.
+    # The relations are unpersisted HERE (not in the overlapped commit)
+    # so the two concurrent consumers never race an unpersist.
+    whole_index_cached = (len(done) == 0 and pending
+                          and batch_size >= len(pending)
+                          and len(pending) == n_segments)
+    fin_args = {}
+    if whole_index_cached:
+        fin_args = {"per_term": per_term, "term_dict": term_dict}
     with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(finalize, spark, index_dir)]
+        futs = [ex.submit(finalize, spark, index_dir, **fin_args)]
         if last_commit is not None:
-            futs.append(ex.submit(last_commit))
+            futs.append(ex.submit(last_commit,
+                                  unpersist=not whole_index_cached))
         for f in futs:
             f.result()
+    if whole_index_cached:
+        per_term.unpersist()
+        combined.unpersist()
+        term_dict.unpersist()
     docs.unpersist()
     phase_t["finalize_sec"] = round(time.monotonic() - t1, 2)
     metrics["phases"] = phase_t
@@ -1079,10 +1096,20 @@ def _commit_manifest(spark, index_dir, batch, elapsed, enc_avgdl,
 
 
 def finalize(spark: SparkSession, index_dir: str,
-             fuzzy_index: bool = True) -> None:
+             fuzzy_index: bool = True,
+             per_term: DataFrame | None = None,
+             term_dict: DataFrame | None = None) -> None:
     """Global term dictionary (df, cf) — sort-merge of segment postings,
     analogous to the reference's final index merge
     (hayooIndexer/src/Hayoo/Hunt/FctIndexerCore.hs:77-82 union).
+
+    ``per_term``/``term_dict``: when the caller just built EVERY
+    segment in one batch, the persisted per-(segment, term_h) counts
+    and the term dictionary already hold exactly the numbers the
+    postings re-read would aggregate (tdf sums over salts to df,
+    seg_cf to cf; term_h keys (field, term)), so the dictionary derives
+    from cached relations instead of re-scanning the postings parquet.
+    Resume / multi-batch builds pass None and take the scan path.
 
     ``fuzzy_index`` also writes ``terms_fuzzy/``: the SymSpell-style
     deletion-1 neighborhood of the dictionary, (field, del_key, term,
@@ -1091,10 +1118,17 @@ def finalize(spark: SparkSession, index_dir: str,
     so a fuzzy query probes O(len(term)) keys instead of sweeping the
     whole dictionary (the reference's `~` flavor at web scale; the
     exact edit-distance verify runs on the candidate bucket only)."""
-    post = spark.read.parquet(os.path.join(index_dir, "postings"))
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    (post.groupBy("field", "term")
-     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    if per_term is not None and term_dict is not None:
+        agg = (per_term.groupBy("term_h")
+               .agg(F.sum("tdf").alias("df"), F.sum("seg_cf").alias("cf"))
+               .join(term_dict, "term_h")
+               .select("field", "term", "df", "cf"))
+    else:
+        post = spark.read.parquet(os.path.join(index_dir, "postings"))
+        agg = (post.groupBy("field", "term")
+               .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+    (agg
      .repartitionByRange(n_parts, "term")
      .sortWithinPartitions("term", "field")
      .write.mode("overwrite")

@@ -184,24 +184,53 @@ def quality_classifier(docs: DataFrame, key: str = "doc_id",
     logit ships quantized (x1e4 bigint) so the cross-engine value hash
     is drift-free.
 
-    Plan shape at scale: Catalyst fuses the two feature projections
-    over ONE scan; the only shuffle is the (key, bigram) count inside
-    repetition_signals — the same partial-agg shape it has alone.
+    Plan shape at scale: ALL scalar features (length, alpha, stopword,
+    line signals) ride one fused projection over one scan; the only
+    shuffle is the (key, bigram) count — the same partial-agg shape
+    repetition_signals has alone — joined back once.  (The previous
+    composition of quality_score ⋈ repetition_signals scanned the
+    corpus three times and joined twice; the expressions below are the
+    same ones those helpers evaluate, so values are bit-identical.)
     """
     # NULL text scores as '' — otherwise size(NULL) feeds NULL into
     # least(), which IGNORES NULLs and silently pins f_len to 1.0
     docs = docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
-    q = quality_score(docs, key, text) \
-        .select(key, "n_tokens", "alpha_ratio", "stop_ratio")
-    r = repetition_signals(docs, key, text)
-    feats = q.join(r, key).select(
+    col = F.coalesce(F.col(text), F.lit(""))
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+    alpha = F.length(F.regexp_replace(F.col(text), r"[^A-Za-z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    alpha_ratio = F.when(nonspace > 0, alpha.cast("double") / nonspace) \
+        .otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens) \
+        .otherwise(F.lit(0.0))
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    base = docs.select(
+        key, n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"), n_lines.alias("n_lines"),
+        dup_lines.alias("dup_lines"))
+    bg_arr = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = (docs.select(key, F.explode(bg_arr).alias("bigram"))
+          .select(key, F.xxhash64("bigram").alias("bg_h")))
+    top = (bg.groupBy(key, "bg_h").agg(F.count("*").alias("c"))
+           .groupBy(key).agg(F.max("c").alias("top_bigram_n"),
+                             F.sum("c").alias("n_bigrams")))
+    feats = base.join(top, key, "left").select(
         key,
         F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
         .alias("f_len"),
         F.col("alpha_ratio").alias("f_alpha"),
         F.least(F.col("stop_ratio") * 5.0, F.lit(1.0)).alias("f_stop"),
-        F.when(F.col("n_bigrams") > 0,
-               F.col("top_bigram_n").cast("double") / F.col("n_bigrams"))
+        F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+               F.coalesce("top_bigram_n", F.lit(0)).cast("double")
+               / F.coalesce("n_bigrams", F.lit(0)))
         .otherwise(F.lit(0.0)).alias("f_top_bigram"),
         F.when(F.col("n_lines") > 0,
                F.col("dup_lines").cast("double") / F.col("n_lines"))

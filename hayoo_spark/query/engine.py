@@ -144,9 +144,12 @@ class SearchEngine:
         # per-host shared decode cache for the grouped-map path (see
         # wand.enable_shm_postings_cache); settable to "" to disable
         shm_root = os.environ.get("HAYOO_SHM_CACHE", "/dev/shm")
-        self._shm_cache_dir = (os.path.join(shm_root, "hayoo_decode_cache")
-                               if shm_root and os.path.isdir(shm_root)
-                               else None)
+        # per-uid dir, created 0700 + ownership-verified in
+        # enable_shm_postings_cache (ADVICE r6: a world-shared fixed
+        # path lets another local user plant poisoned posting arrays)
+        self._shm_cache_dir = (
+            os.path.join(shm_root, f"hayoo_decode_cache.{os.getuid()}")
+            if shm_root and os.path.isdir(shm_root) else None)
         # the DRIVER joins the host cache too: warm()'s prewarm then
         # publishes its decodes, so grouped-map workers mmap the Zipf
         # head instead of stampeding the postings parquet 32-wide on

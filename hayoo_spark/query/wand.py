@@ -79,15 +79,57 @@ _SHM_FREE_FLOOR = int(_os.environ.get("HAYOO_SHM_CACHE_FLOOR_MB",
 def enable_shm_postings_cache(dir_path: str | None) -> None:
     """Turn on the shared decode cache for this process (idempotent;
     called inside the grouped-map closure so every executor worker
-    joins the same per-host cache)."""
+    joins the same per-host cache).
+
+    The directory is created 0700 and must be OWNED by this uid
+    (ADVICE r6): a world-shared fixed path lets another local user
+    pre-create it and plant poisoned posting arrays.  Callers pass a
+    per-uid path (engine.py appends ``.<uid>``); if an existing dir
+    belongs to someone else the cache silently disables."""
     global _SHM_CACHE_DIR
     if not dir_path:
         return
     try:
-        _os.makedirs(dir_path, exist_ok=True)
+        _os.makedirs(dir_path, mode=0o700, exist_ok=True)
+        st = _os.stat(dir_path)
+        if st.st_uid != _os.getuid():
+            return
     except OSError:
         return
     _SHM_CACHE_DIR = dir_path
+
+
+def _shm_evict(needed: int) -> bool:
+    """Best-effort eviction when the tmpfs floor is breached (ADVICE
+    r6: entries are keyed by postings-dir mtime, so stale files from
+    updated/temporary indexes pin host RAM forever otherwise).  Unlinks
+    oldest-atime files first until ``needed`` bytes are reclaimed or
+    the scan budget runs out; concurrent unlinks are harmless (ENOENT
+    ignored).  Returns True if enough space was reclaimed."""
+    try:
+        entries = []
+        with _os.scandir(_SHM_CACHE_DIR) as it:
+            for de in it:
+                if not de.name.endswith((".bin", ".tmp")):
+                    continue
+                try:
+                    st = de.stat()
+                except OSError:
+                    continue
+                entries.append((st.st_atime, st.st_size, de.path))
+        entries.sort()
+        freed = 0
+        for _, size, path in entries:
+            if freed >= needed:
+                break
+            try:
+                _os.unlink(path)
+                freed += size
+            except OSError:
+                pass
+        return freed >= needed
+    except OSError:
+        return False
 
 
 def _shm_path(gkey: tuple) -> str | None:
@@ -138,10 +180,15 @@ def _shm_put(gkey: tuple, arrays: tuple) -> None:
     if path is None or _os.path.exists(path):
         return
     try:
-        st = _os.statvfs(_SHM_CACHE_DIR)
-        if st.f_bavail * st.f_frsize < _SHM_FREE_FLOOR:
-            return  # tmpfs is box memory: never squeeze it
         arrays = tuple(np.ascontiguousarray(a) for a in arrays)
+        nbytes = sum(a.nbytes for a in arrays)
+        st = _os.statvfs(_SHM_CACHE_DIR)
+        # account the incoming bytes against the floor, and on breach
+        # try to reclaim stale entries before giving up (ADVICE r6)
+        if st.f_bavail * st.f_frsize < _SHM_FREE_FLOOR + nbytes:
+            if not _shm_evict(_SHM_FREE_FLOOR + nbytes
+                              - st.f_bavail * st.f_frsize):
+                return  # tmpfs is box memory: never squeeze it
         hdr = repr([(a.dtype.str, a.shape) for a in arrays]).encode()
         import struct as _struct
         tmp = f"{path}.{_os.getpid()}.tmp"
@@ -456,7 +503,13 @@ class SegmentData:
 
     def postings(self, field: str, term: str):
         """(doc_ids int64 sorted, tfs int64, block_last, block_ub) —
-        salted sub-lists merged (disjoint doc sets -> concat + sort)."""
+        salted sub-lists merged (disjoint doc sets -> concat + sort).
+
+        Returned arrays are READ-ONLY: shm hits are mmap-backed views
+        and decode-path arrays are frozen before caching, so the
+        immutability contract is uniform across hit/miss (ADVICE r6 —
+        an in-place mutation would otherwise work on a miss and raise
+        only on an shm hit, an environment-dependent failure)."""
         tkey = (field, term)
         if tkey in self._decoded:
             return self._decoded[tkey]
@@ -504,6 +557,8 @@ class SegmentData:
             blast, bub = codec.block_maxes(ids, tfs, self.dls[field][ids],
                                            self._avgdl[field])
             out = (ids, tfs, blast, bub)
+        for a in out:
+            a.flags.writeable = False  # uniform immutability (ADVICE r6)
         self._decoded[tkey] = out
         if gkey:
             with _POSTINGS_CACHE_LOCK:
@@ -609,6 +664,8 @@ class SegmentData:
         else:
             out = (np.zeros(0, np.int64), np.zeros(1, np.int64),
                    np.zeros(0, np.int64))
+        for a in out:
+            a.flags.writeable = False  # uniform immutability (ADVICE r6)
         self._decoded[key] = out
         if gkey:
             with _POSTINGS_CACHE_LOCK:
