@@ -732,7 +732,7 @@ def build_index(
         combined, per_term, term_dict = _combine_relations(seg_docs, fields)
         t = time.monotonic()
         per_term.count()   # pulls `combined` through the python combine
-        term_dict.count()
+        n_terms = term_dict.count()
         phase_t["combine_sec"] = round(
             phase_t.get("combine_sec", 0.0) + time.monotonic() - t, 2)
         if need_stats:
@@ -748,7 +748,7 @@ def build_index(
             f_post = ex.submit(_write_postings, spark, combined, per_term,
                                term_dict, index_dir, avgdl, fields,
                                block_size, salt_df_threshold, n_salts,
-                               phase_t)
+                               phase_t, n_terms)
             f_docs = ex.submit(_write_docs, seg_docs, index_dir, fields,
                                phase_t)
             f_post.result()
@@ -966,13 +966,23 @@ def _combine_relations(seg_docs, fields):
     return combined, per_term, term_dict
 
 
+#: term-dictionary broadcast ceiling for the single-shuffle write path
+#: (strings + hashes; ~2M terms is tens of MB framed — the size class
+#: the guide calls comfortably broadcastable).  Env-overridable so a
+#: cluster deployment with bigger executors can raise it.
+TERMDICT_BROADCAST_MAX = int(os.environ.get(
+    "HAYOO_TERMDICT_BROADCAST_MAX", str(2_000_000)))
+
+
 def _write_postings(spark, combined, per_term, term_dict, index_dir, avgdl,
-                    fields, block_size, salt_df_threshold, n_salts, phase_t):
+                    fields, block_size, salt_df_threshold, n_salts, phase_t,
+                    n_terms: int | None = None):
     """Salting + bucket encode + postings write.  Everything here reads
     the persisted relations from ``_combine_relations`` — ``avgdl`` is
     the only late input (it becomes known when the fused stats pass
     finishes), which is what lets the combine materialization overlap
-    the docs write."""
+    the docs write.  ``n_terms`` (the term_dict count the combine phase
+    already produced) gates the broadcast-join write path."""
     t0 = time.monotonic()
     # explicit Zipf-skew salting: heavy (segment, term) occurrence groups
     # split by doc id so no encode group is unbounded.  AQE does not
@@ -997,24 +1007,51 @@ def _write_postings(spark, combined, per_term, term_dict, index_dir, avgdl,
 
     avgdls = [avgdl.get(f.name, 1.0) for f in fields]
     # stream-encode over JVM-sorted partitions instead of
-    # groupBy().applyInPandas: the exchange is the same (hash by
-    # (segment, bucket)), but rows arrive already (segment, term_h,
+    # groupBy().applyInPandas: rows arrive already (segment, term_h,
     # salt, doc_id)-ordered from the Tungsten sort, so the python side
     # drops its 10M-element lexsort AND the pandas materialization of
     # every pos_vb cell as a bytes object; all output buffers are
     # zero-copy Arrow (see _encode_stream_factory)
-    encoded = (comb
-               .repartition("segment", "bucket")
-               .sortWithinPartitions("segment", "term_h", "salt", "doc_id")
-               .mapInArrow(_encode_stream_factory(avgdls, block_size),
-                           ENCODE_SCHEMA))
-    (encoded
-     .join(term_dict, "term_h")
-     .select(*[f.name for f in POSTINGS_SCHEMA.fields])
-     .repartition("segment")
-     .sortWithinPartitions("term", "field", "salt")
-     .write.mode("append").partitionBy("segment")
-     .parquet(os.path.join(index_dir, "postings")))
+    if n_terms is not None and n_terms <= TERMDICT_BROADCAST_MAX:
+        # single-shuffle write path (guide §2.4): partition the combined
+        # stream by SEGMENT once; the encode preserves that partitioning,
+        # the dictionary joins by BROADCAST (size-gated on the term
+        # count the combine phase already produced), and the final sort
+        # leads with the partition column so FileFormatWriter inserts no
+        # sort of its own — the old shape re-shuffled the ENCODED
+        # postings a second time just to co-locate segments for the
+        # write, and its trailing term sort was silently destroyed by
+        # the writer's own partition-column sort (files measured
+        # term-UNsorted).  Bonus: files now really are term-sorted, so
+        # parquet row-group min/max stats prune term lookups again.
+        encoded = (comb
+                   .repartition("segment")
+                   .sortWithinPartitions("segment", "term_h", "salt",
+                                         "doc_id")
+                   .mapInArrow(_encode_stream_factory(avgdls, block_size),
+                               ENCODE_SCHEMA))
+        (encoded
+         .join(F.broadcast(term_dict), "term_h")
+         .select(*[f.name for f in POSTINGS_SCHEMA.fields])
+         .sortWithinPartitions("segment", "term", "field", "salt")
+         .write.mode("append").partitionBy("segment")
+         .parquet(os.path.join(index_dir, "postings")))
+    else:
+        # huge-vocabulary fallback (multi-million-term batches): keep
+        # the shuffle join on term_h and the pre-write exchange
+        encoded = (comb
+                   .repartition("segment", "bucket")
+                   .sortWithinPartitions("segment", "term_h", "salt",
+                                         "doc_id")
+                   .mapInArrow(_encode_stream_factory(avgdls, block_size),
+                               ENCODE_SCHEMA))
+        (encoded
+         .join(term_dict, "term_h")
+         .select(*[f.name for f in POSTINGS_SCHEMA.fields])
+         .repartition("segment")
+         .sortWithinPartitions("segment", "term", "field", "salt")
+         .write.mode("append").partitionBy("segment")
+         .parquet(os.path.join(index_dir, "postings")))
     phase_t["encode_sec"] = round(
         phase_t.get("encode_sec", 0.0) + time.monotonic() - t0, 2)
 

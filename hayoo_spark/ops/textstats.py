@@ -314,9 +314,39 @@ def clean_corpus(docs: DataFrame, key: str = "doc_id",
     still downgrades it to a broadcast at runtime when the measured
     size is small, which is the right call in both directions.
     """
-    q = quality_score(docs, key, text).select(key, "quality_x1e4")
-    lg = lang_id(docs, key, text).select(key, "pred_lang")
-    out = (docs.join(q, key).join(lg, key)
+    # quality and language are ROW-LOCAL projections of the same scan —
+    # attach them as columns instead of computing two derived frames
+    # and joining each back on key (three scans + two joins -> one
+    # scan, zero joins; same expressions, so values are identical)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+    alpha = F.length(F.regexp_replace(F.col(text), r"[^A-Za-z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    alpha_ratio = F.when(nonspace > 0, alpha.cast("double") / nonspace) \
+        .otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens) \
+        .otherwise(F.lit(0.0))
+    comp = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+    )
+    hits = {lg: F.size(F.filter(
+        toks, lambda t: F.array_contains(
+            F.array([F.lit(w) for w in words]), t)))
+        for lg, words in sorted(STOPWORDS.items())}
+    lgs = sorted(STOPWORDS)
+    best = F.greatest(*[hits[lg] for lg in lgs])
+    pred = F.lit("und")
+    for lg in reversed(lgs):
+        pred = F.when((best > 0) & (hits[lg] == best), F.lit(lg)) \
+            .otherwise(pred)
+    out = (docs
+           .withColumn("quality_x1e4",
+                       F.round(comp * 10000).cast("bigint"))
+           .withColumn("pred_lang", pred)
            .filter(F.col("quality_x1e4") >= min_quality_x1e4)
            .filter(F.col("pred_lang").isin(list(langs))))
     if dedup_pairs is not None:
