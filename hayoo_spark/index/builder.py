@@ -732,18 +732,25 @@ def build_index(
         combined, per_term, term_dict = _combine_relations(seg_docs, fields)
         t = time.monotonic()
         per_term.count()   # pulls `combined` through the python combine
-        n_terms = term_dict.count()
-        phase_t["combine_sec"] = round(
-            phase_t.get("combine_sec", 0.0) + time.monotonic() - t, 2)
         if need_stats:
-            t = time.monotonic()
-            a = docs.agg(*_stats_aggs(fields)).collect()[0]
+            # docs + combined caches are materialized now, so the
+            # dictionary count and the stats agg no longer race a cache
+            # build — overlap the two independent jobs (guide §2.6);
+            # both are hi-leg fixed cost in the N-vs-4N measurement
+            with ThreadPoolExecutor(max_workers=2) as ex0:
+                f_terms = ex0.submit(term_dict.count)
+                f_stats = ex0.submit(
+                    lambda: docs.agg(*_stats_aggs(fields)).collect()[0])
+                n_terms = f_terms.result()
+                a = f_stats.result()
             n_docs, avgdl = _write_stats(a, fields, drop_empty,
                                          split_sections, stats_path,
                                          store_cols, n_segments)
             need_stats = False
-            phase_t["stats_sec"] = round(
-                phase_t["stats_sec"] + time.monotonic() - t, 2)
+        else:
+            n_terms = term_dict.count()
+        phase_t["combine_sec"] = round(
+            phase_t.get("combine_sec", 0.0) + time.monotonic() - t, 2)
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_post = ex.submit(_write_postings, spark, combined, per_term,
                                term_dict, index_dir, avgdl, fields,
@@ -1156,11 +1163,15 @@ def finalize(spark: SparkSession, index_dir: str,
     whole dictionary (the reference's `~` flavor at web scale; the
     exact edit-distance verify runs on the candidate bucket only)."""
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    if per_term is not None and term_dict is not None:
+    cached = per_term is not None and term_dict is not None
+    if cached:
         agg = (per_term.groupBy("term_h")
                .agg(F.sum("tdf").alias("df"), F.sum("seg_cf").alias("cf"))
                .join(term_dict, "term_h")
                .select("field", "term", "df", "cf"))
+        # two consumers (terms write + fuzzy derivation) — persist the
+        # tiny dictionary instead of writing it out and reading it back
+        agg = agg.persist()
     else:
         post = spark.read.parquet(os.path.join(index_dir, "postings"))
         agg = (post.groupBy("field", "term")
@@ -1171,7 +1182,8 @@ def finalize(spark: SparkSession, index_dir: str,
      .write.mode("overwrite")
      .parquet(os.path.join(index_dir, "terms")))
     if fuzzy_index:
-        terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        terms = (agg if cached else
+                 spark.read.parquet(os.path.join(index_dir, "terms")))
         # JVM-side deletion neighborhood; array_union dedups keys when a
         # term has repeated characters (matches the python twin's set,
         # query/plan.py fuzzy_keys)
@@ -1188,3 +1200,5 @@ def finalize(spark: SparkSession, index_dir: str,
          .sortWithinPartitions("del_key", "field", "term")
          .write.mode("overwrite")
          .parquet(os.path.join(index_dir, "terms_fuzzy")))
+    if cached:
+        agg.unpersist()
