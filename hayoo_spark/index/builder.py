@@ -724,6 +724,17 @@ def build_index(
     #      2.3x slower; hence the explicit materialize-first step).
     from concurrent.futures import ThreadPoolExecutor
 
+    # cached-dictionary fast path: a fresh single-batch build over every
+    # segment materializes per_term/term_dict for the whole index, so
+    # finalize can aggregate those instead of re-scanning postings/ —
+    # and since it reads ONLY those cached relations, it joins the last
+    # batch's concurrent job pool (it does not depend on the postings
+    # write; crash-safe because finalize is overwrite-mode and resume
+    # always re-runs it).
+    whole_index_cached = (len(done) == 0 and bool(pending)
+                          and batch_size >= len(pending)
+                          and len(pending) == n_segments)
+
     last_commit = None
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
@@ -751,15 +762,27 @@ def build_index(
             n_terms = term_dict.count()
         phase_t["combine_sec"] = round(
             phase_t.get("combine_sec", 0.0) + time.monotonic() - t, 2)
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        def _timed_finalize():
+            tf0 = time.monotonic()
+            finalize(spark, index_dir, per_term=per_term,
+                     term_dict=term_dict)
+            phase_t["finalize_sec"] = round(
+                phase_t.get("finalize_sec", 0.0)
+                + time.monotonic() - tf0, 2)
+
+        run_fin_here = whole_index_cached and i + batch_size >= len(pending)
+        with ThreadPoolExecutor(max_workers=3) as ex:
             f_post = ex.submit(_write_postings, spark, combined, per_term,
                                term_dict, index_dir, avgdl, fields,
                                block_size, salt_df_threshold, n_salts,
                                phase_t, n_terms)
             f_docs = ex.submit(_write_docs, seg_docs, index_dir, fields,
                                phase_t)
+            f_fin = ex.submit(_timed_finalize) if run_fin_here else None
             f_post.result()
             f_docs.result()
+            if f_fin is not None:
+                f_fin.result()
         elapsed = time.monotonic() - t0
 
         def _commit(batch=batch, elapsed=elapsed, seg_docs=seg_docs,
@@ -784,37 +807,30 @@ def build_index(
     metrics.update({"n_docs": int(n_docs),
                     "avgdl": {k: round(v, 3) for k, v in avgdl.items()}})
 
-    # the LAST batch's manifest commit (driver-side lineage write + a
-    # small cached aggregation) is independent of finalize (a Spark job
-    # over the written postings): overlap them.  Crash-safe: finalize is
-    # mode("overwrite") and build_index always re-runs it on resume,
-    # so a manifest that lands before terms/ finishes cannot strand a
+    # Cached path: finalize already ran inside the last batch's pool;
+    # only the manifest commit remains (relations are unpersisted HERE,
+    # after every consumer is done).  Parquet path (resume/multi-batch):
+    # finalize must read the written postings, so it runs now, with the
+    # last batch's manifest commit overlapped — crash-safe: finalize is
+    # mode("overwrite") and build_index always re-runs it on resume, so
+    # a manifest that lands before terms/ finishes cannot strand a
     # half-finalized index.
     t1 = time.monotonic()
-    # cached-dictionary fast path: a fresh single-batch build over every
-    # segment just materialized per_term/term_dict for the whole index,
-    # so finalize can aggregate those instead of re-scanning postings/.
-    # The relations are unpersisted HERE (not in the overlapped commit)
-    # so the two concurrent consumers never race an unpersist.
-    whole_index_cached = (len(done) == 0 and pending
-                          and batch_size >= len(pending)
-                          and len(pending) == n_segments)
-    fin_args = {}
     if whole_index_cached:
-        fin_args = {"per_term": per_term, "term_dict": term_dict}
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(finalize, spark, index_dir, **fin_args)]
         if last_commit is not None:
-            futs.append(ex.submit(last_commit,
-                                  unpersist=not whole_index_cached))
-        for f in futs:
-            f.result()
-    if whole_index_cached:
+            last_commit(unpersist=False)
         per_term.unpersist()
         combined.unpersist()
         term_dict.unpersist()
+    else:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(finalize, spark, index_dir)]
+            if last_commit is not None:
+                futs.append(ex.submit(last_commit))
+            for f in futs:
+                f.result()
+        phase_t["finalize_sec"] = round(time.monotonic() - t1, 2)
     docs.unpersist()
-    phase_t["finalize_sec"] = round(time.monotonic() - t1, 2)
     metrics["phases"] = phase_t
     return metrics
 
