@@ -345,7 +345,7 @@ def _combine_occurrences(batches):
     one document's occurrences, instead of the whole input split's
     occurrence stream (~dl x larger than the split bytes; ADVICE r2).
     """
-    cols = ("segment", "doc_id", "dl", "fkey", "term_h", "pos")
+    cols = ("segment", "doc_id", "fkey", "term_h", "pos")
     carry: dict | None = None
     for rb in batches:
         if rb.num_rows == 0:
@@ -372,7 +372,7 @@ def _combine_span(c: dict):
     as one Arrow RecordBatch."""
     import pyarrow as pa
 
-    seg, doc, dl = c["segment"], c["doc_id"], c["dl"]
+    seg, doc = c["segment"], c["doc_id"]
     fk, th, pos = c["fkey"], c["term_h"], c["pos"]
     n = len(seg)
     # doc_id is a per-segment ordinal: (segment, doc_id) is the doc key;
@@ -382,11 +382,15 @@ def _combine_span(c: dict):
     # logic in _combine_occurrences already relies on this) and
     # positions ascend within the run — so a STABLE 2-key sort on
     # (run ordinal, term_h) reproduces the old 4-key
-    # (seg, doc, th, pos) lexsort order at roughly half the sort cost.
+    # (seg, doc, th, pos) lexsort order at roughly half the sort cost,
+    # and the field document length is simply the RUN LENGTH (the run
+    # holds every token occurrence of the doc in this field), so dl is
+    # not shipped per token at all.
     rid = np.concatenate((
         [0], np.cumsum((doc[1:] != doc[:-1]) | (seg[1:] != seg[:-1]))))
+    runlen = np.bincount(rid, minlength=int(rid[-1]) + 1)
     order = np.lexsort((th, rid))
-    seg_s, doc_s, dl_s = seg[order], doc[order], dl[order]
+    seg_s, doc_s = seg[order], doc[order]
     th_s, pos_s, fk_s = th[order], pos[order], fk[order]
     rid_s = rid[order]
     change = np.flatnonzero(
@@ -408,7 +412,7 @@ def _combine_span(c: dict):
     return pa.RecordBatch.from_arrays([
         pa.array(seg_s[starts].astype(np.int32, copy=False)),
         pa.array(doc_s[starts].astype(np.int32, copy=False)),
-        pa.array(dl_s[starts].astype(np.int32, copy=False)),
+        pa.array(runlen[rid_s[starts]].astype(np.int32, copy=False)),
         pa.array(fk_s[starts].astype(np.int32, copy=False)),
         pa.array(th_s[starts]),
         pa.array((ends - starts).astype(np.int32, copy=False)),
@@ -947,11 +951,15 @@ def _combine_relations(seg_docs, fields):
     for f in fields:
         if f.ftype == "date":
             continue  # date contexts carry no postings
+        # NOTE: no dl column — a doc's occurrence rows in one field are
+        # one contiguous run (posexplode; the combine's batch-carry
+        # logic already relies on this), so dl = run length is
+        # recomputed python-side instead of shipping 4 more bytes per
+        # TOKEN through the Arrow boundary
         occ_parts.append(
             seg_docs.select(
                 "segment",
                 F.col("doc_id").cast("int").alias("doc_id"),
-                F.col(f"dl_{f.name}").cast("int").alias("dl"),
                 F.posexplode(f"tokens_{f.name}").alias("pos", "term"))
             .withColumn("field", F.lit(f.name))
             .withColumn("fkey", F.lit(fkeys[f.name]).cast("int")))
