@@ -1055,6 +1055,15 @@ def _write_postings(spark, combined, per_term, term_dict, index_dir, avgdl,
         # the writer's own partition-column sort (files measured
         # term-UNsorted).  Bonus: files now really are term-sorted, so
         # parquet row-group min/max stats prune term lookups again.
+        # hash-partition by segment: 32 segments into 12 partitions is
+        # visibly uneven ([8,5,5,3,3,2,2,1,1,1,1,0] measured), but the
+        # many small partitions pack around the big one (8+8+8+8 on 4
+        # cores = ideal makespan), so the imbalance does not gate the
+        # stage.  repartitionByRange(segment, term_h) was measured as
+        # the alternative: perfectly even, but its reservoir-sampling
+        # pass re-evaluates the combined stream (~5 s on the 1-core
+        # leg) and the term_h-ranged files interleave term-string
+        # ranges, un-sorting the serving layout — rejected.
         encoded = (comb
                    .repartition("segment")
                    .sortWithinPartitions("segment", "term_h", "salt",
